@@ -1,0 +1,35 @@
+"""Analyzer: text -> terms. The build side and the query side MUST share
+this module (the reference pins the same invariant by routing both through
+one model singleton, `/root/reference/src/embed.rs:17-42,65-78`).
+
+The analyzer is lowercase + maximal ``[a-z0-9]+`` runs — chosen so DuckDB's
+``regexp_extract_all(lower(text), '[a-z0-9]+')`` reproduces it exactly,
+which is what lets the SQL oracle validate the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from semantic_pdf_search_engine_ray.config import TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def tokenize(text: str) -> list[str]:
+    """All analyzer tokens of `text`, in order."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def term_freqs(text: str) -> tuple[Counter, int]:
+    """(term -> tf, doc_len). doc_len counts every token (not unique)."""
+    toks = tokenize(text)
+    return Counter(toks), len(toks)
+
+
+def query_terms(text: str) -> list[str]:
+    """Unique query terms, sorted. BM25 scoring treats the query as a term
+    set (duplicate query terms count once); sorting pins the float
+    accumulation order so engine, oracle and WAND sum identically."""
+    return sorted(set(tokenize(text)))
