@@ -19,3 +19,53 @@ Layout:
 from semantic_pdf_search_engine_ray.config import EngineConfig
 
 __all__ = ["EngineConfig"]
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package's code to Ray workers by value.
+
+    The repo is not pip-installed, so worker processes (whose
+    interpreter may not have the repo on sys.path) would fail to
+    unpickle our stage callables by module reference. Registering the
+    package's modules with cloudpickle's by-value mode embeds the code
+    in the serialized task instead — works under any driver's ray.init.
+    """
+    import sys
+
+    try:
+        import ray.cloudpickle as _cp
+    except Exception:  # pragma: no cover - ray always present here
+        return
+    # import the whole package so every submodule is registered
+    from importlib import import_module
+
+    for sub in (
+        "config",
+        "functions.textnorm",
+        "functions.fuzzy",
+        "functions.tokenize",
+        "functions.codec",
+        "sources.pages",
+        "stages.extract",
+        "stages.postings",
+        "stages.encode",
+        "stages.query",
+        "state.manifest",
+        "oracle",
+        "pipelines.build",
+        "pipelines.search",
+    ):
+        try:
+            import_module(f"{__name__}.{sub}")
+        except ImportError:
+            pass
+    for name, mod in list(sys.modules.items()):
+        if name == __name__ or name.startswith(__name__ + "."):
+            if mod is not None:
+                try:
+                    _cp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+
+
+_register_pickle_by_value()

@@ -1,0 +1,155 @@
+"""Batch query pipeline: queries Dataset -> ranked results (+ optional
+url/text enrichment and fuzzy highlight spans).
+
+The Ray analog of the reference's search handler chain
+(`/root/reference/src/bin/app/handlers/search.rs:16-65`): top-k retrieval
+(qdrant.rs:70-96 -> our QueryActor), payload projection (search.rs:97-113
+-> broadcast join against the docs store), then per-result fuzzy
+re-localization + sentence snap + span coalescing
+(search.rs:115-184 -> highlight stage, functions/fuzzy.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from semantic_pdf_search_engine_ray.config import EngineConfig
+from semantic_pdf_search_engine_ray.functions.fuzzy import (
+    fuzzy_search,
+    snap_to_sentence_boundaries,
+)
+from semantic_pdf_search_engine_ray.functions.textnorm import char_entries
+from semantic_pdf_search_engine_ray.stages.query import QueryActor
+
+
+def run_queries(
+    index_dir: str,
+    queries_ds: rd.Dataset,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int | None = None,
+    method: str = "wand",
+) -> rd.Dataset:
+    """(query_id, query) -> (query_id, rank, doc_id, score)."""
+    cfg = cfg or EngineConfig()
+    return queries_ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(index_dir, k if k is not None else cfg.top_k, method),
+        batch_format="pyarrow",
+        batch_size=cfg.query_batch_size,
+        concurrency=cfg.query_concurrency,
+    )
+
+
+def enrich_results(
+    index_dir: str, results: pa.Table, columns: list[str] | None = None
+) -> pa.Table:
+    """Attach doc store columns (url, text, ...) to a small results table.
+
+    J3 of SURVEY.md §2.5: the small side is the RESULTS (k x queries
+    rows); the docs store is read with a pushed-down doc_id filter so only
+    matching row groups leave storage — no shuffle join.
+    """
+    import pyarrow.dataset as pads
+
+    columns = columns or ["url"]
+    want = sorted(set(results.column("doc_id").to_pylist()))
+    if not want:
+        out = results
+        for c in columns:
+            out = out.append_column(c, pa.array([], type=pa.string()))
+        return out
+    docs = pads.dataset(os.path.join(index_dir, "docs")).to_table(
+        columns=["doc_id"] + columns,
+        filter=pads.field("doc_id").isin(want),
+    )
+    joined = results.join(docs, keys="doc_id", join_type="left outer")
+    return joined.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+class HighlightActor:
+    """Actor-pool stage: enriched result rows (query_id, query, doc_id,
+    text) -> highlight span rows. Port of compute_highlights
+    (`handlers/search.rs:115-184`): char-entry projection (M10/M11) ->
+    fuzzy_search thr 0.85 (search.rs:152) -> snap_to_sentence_boundaries
+    -> char spans into docs.text (the web-text analog of bbox rects)."""
+
+    THRESHOLD = 0.85  # handlers/search.rs:152
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, starts, ends, scores, snippets = [], [], [], [], [], []
+        for qid, qtext, doc_id, text in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("query").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            entries = char_entries(text)
+            for s, e, score in fuzzy_search(entries, qtext, self.THRESHOLD):
+                s2, e2 = snap_to_sentence_boundaries(entries, s, e)
+                # map haystack indices back to source-text offsets
+                src_start = entries[s2][0] if s2 < len(entries) else len(text)
+                src_end = entries[e2 - 1][0] + 1 if e2 > s2 else src_start
+                qids.append(qid)
+                docs.append(doc_id)
+                starts.append(src_start)
+                ends.append(src_end)
+                scores.append(score)
+                snippets.append(text[src_start:src_end])
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "start": pa.array(starts, type=pa.int64()),
+                "end": pa.array(ends, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+                "snippet": pa.array(snippets, type=pa.string()),
+            }
+        )
+
+
+def run_queries_with_highlights(
+    index_dir: str,
+    queries: pa.Table,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int | None = None,
+) -> tuple[pa.Table, pa.Table]:
+    """Full reference-parity query pipeline -> (results, highlights)."""
+    cfg = cfg or EngineConfig()
+    results = (
+        run_queries(index_dir, rd.from_arrow(queries), cfg, k=k)
+        .to_arrow_refs()
+    )
+    import ray
+
+    results_tbl = pa.concat_tables(
+        [t for t in ray.get(results) if t.num_rows >= 0]
+    )
+    enriched = enrich_results(index_dir, results_tbl, columns=["url", "text"])
+    with_query = enriched.join(queries, keys="query_id", join_type="inner")
+    hl_input = rd.from_arrow(
+        with_query.select(["query_id", "query", "doc_id", "text"])
+    )
+    highlights = hl_input.map_batches(
+        HighlightActor,
+        batch_format="pyarrow",
+        batch_size=cfg.query_batch_size,
+        concurrency=cfg.query_concurrency,
+    )
+    hl_tbl = pa.concat_tables(
+        [t for t in ray.get(highlights.to_arrow_refs()) if t.num_rows >= 0]
+    )
+    hl_tbl = (
+        hl_tbl.sort_by(
+            [("query_id", "ascending"), ("doc_id", "ascending"),
+             ("start", "ascending")]
+        )
+        if hl_tbl.num_rows
+        else hl_tbl
+    )
+    return enriched.drop_columns(["text"]), hl_tbl

@@ -1,0 +1,81 @@
+"""Tokenize stage: docs -> flat postings (term, doc_id, tf, dl).
+
+Replaces the reference's embedding stage (`/root/reference/src/embed.rs:44-63`
+``get_embeddings``: chunk texts -> 384-dim vectors, globally serialized by a
+write lock) with the inverted-index feature extraction. Unlike the
+reference's singleton+lock, this is a stateless, fully-vectorized
+``map_batches`` task: Arrow C++ kernels do lower/strip/split, and an Arrow
+hash group_by computes per-(doc,term) tf — no Python loop over rows or
+tokens.
+
+``dl`` (doc token count) is carried on every posting row so the encode
+stage can compute block-max BM25 partials without a 10^12-row broadcast
+of doc lengths (SURVEY.md §7 hard part b).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tokenize_doc_lens(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized doc_len (analyzer token count) for a text column."""
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(texts), "[^a-z0-9]+", " "
+    )
+    lists = pc.split_pattern(cleaned, " ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    nonempty = pc.not_equal(flat, "")
+    n = len(texts)
+    par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+    return np.bincount(par, minlength=n).astype(np.int64)
+
+
+class AddDocLen:
+    """map_batches callable: append a ``doc_len`` int64 column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dl = tokenize_doc_lens(batch.column("text"))
+        return batch.append_column("doc_len", pa.array(dl, type=pa.int64()))
+
+
+class TokenizePostings:
+    """map_batches callable: (doc_id, text, doc_len) -> postings rows
+    (term, doc_id, tf, dl). Entirely Arrow-vectorized."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        cleaned = pc.replace_substring_regex(
+            pc.utf8_lower(texts), "[^a-z0-9]+", " "
+        )
+        lists = pc.split_pattern(cleaned, " ")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parents = parents.filter(nonempty)
+
+        pairs = pa.table({"i": parents, "term": flat})
+        tf_tbl = pairs.group_by(["i", "term"]).aggregate([([], "count_all")])
+
+        idx = tf_tbl.column("i")
+        doc_ids = pc.take(batch.column("doc_id"), idx)
+        if "doc_len" in batch.column_names:
+            dl_all = batch.column("doc_len")
+        else:
+            dl_all = pa.array(
+                tokenize_doc_lens(texts), type=pa.int64()
+            )
+        dls = pc.take(dl_all, idx)
+
+        return pa.table(
+            {
+                "term": tf_tbl.column("term"),
+                "doc_id": doc_ids,
+                "tf": pc.cast(tf_tbl.column("count_all"), pa.int64()),
+                "dl": pc.cast(dls, pa.int64()),
+            }
+        )

@@ -1,0 +1,285 @@
+"""Query path: stateful index reader + BM25 top-k (exhaustive and
+block-max WAND), exposed as a Ray Data actor-pool stage.
+
+The Ray analog of the reference's query chain
+(`/root/reference/src/qdrant.rs:70-96` run_query: embed -> filtered ANN
+top-5 -> payload decode) and its process-wide stateful handles
+(`embed.rs:17-42` model singleton, `bin/app/pdf.rs:8-18` PDFIUM
+OnceLock): each QueryActor loads the dictionary, posting blocks and doc
+lengths ONCE in ``__init__`` and serves query batches in ``__call__``.
+
+Determinism: scoring accumulates per doc in sorted-unique-term order with
+the exact float expression tree pinned in stages/encode.compute_tfn — so
+exhaustive scoring, WAND, and the pure-Python oracle agree bitwise, and
+rank-identity holds at any parallelism (tie-break score DESC, doc_id ASC).
+
+Scale notes: the in-RAM posting dict is the single-node layout. The
+10^12-doc layout shards this actor by doc_id range (each actor owns the
+blocks + doc_len slice of its partition; per-query top-k merged
+driver-side, k is tiny) — the structure (self-contained blocks keyed by
+(term, first_doc)) is partition-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from semantic_pdf_search_engine_ray.config import EngineConfig
+from semantic_pdf_search_engine_ray.functions.codec import (
+    decode_doc_ids,
+    decode_tfs,
+)
+from semantic_pdf_search_engine_ray.functions.tokenize import query_terms
+from semantic_pdf_search_engine_ray.stages.encode import compute_tfn
+from semantic_pdf_search_engine_ray.state import manifest as mf
+
+
+class IndexReader:
+    """Loads a committed index directory; answers top-k BM25 queries."""
+
+    def __init__(self, index_dir: str):
+        m = mf.load_manifest(index_dir)
+        self.params = m["params"]
+        self.k1 = float(self.params["k1"])
+        self.b = float(self.params["b"])
+        self.n_docs = int(m["n_docs"])
+        self.avgdl = float(m["avgdl"])
+
+        # doc lengths, dense by doc_id rank
+        dl_tbl = pq.read_table(
+            os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"]
+        )
+        self.doc_len = np.zeros(self.n_docs, dtype=np.int64)
+        self.doc_len[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column(
+            "doc_len"
+        ).to_numpy()
+
+        # dictionary: term -> df
+        d_tbl = pq.read_table(
+            os.path.join(index_dir, "dictionary"), columns=["term", "df"]
+        )
+        self.df = dict(
+            zip(d_tbl.column("term").to_pylist(), d_tbl.column("df").to_numpy())
+        )
+
+        # posting blocks: term -> list of decoded-lazily block tuples,
+        # ordered by first_doc (salted / boundary-split runs merge here)
+        b_tbl = pq.read_table(os.path.join(index_dir, "postings"))
+        terms = b_tbl.column("term").to_pylist()
+        first = b_tbl.column("first_doc").to_numpy()
+        maxtfn = b_tbl.column("max_tfn").to_numpy()
+        docs_bufs = b_tbl.column("docs").to_pylist()
+        tfs_bufs = b_tbl.column("tfs").to_pylist()
+        self.blocks: dict[str, list[tuple[int, float, bytes, bytes]]] = {}
+        for t, fd, mt, db, tb in zip(terms, first, maxtfn, docs_bufs, tfs_bufs):
+            self.blocks.setdefault(t, []).append((int(fd), float(mt), db, tb))
+        for lst in self.blocks.values():
+            lst.sort(key=lambda x: x[0])
+
+    # -- scoring ------------------------------------------------------------
+
+    def _weight(self, term: str) -> float:
+        df = int(self.df.get(term, 0))
+        if df == 0:
+            return 0.0
+        idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        return idf * (self.k1 + 1.0)
+
+    def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenated decoded (doc_ids, tfs) for a term, doc_id-ascending."""
+        blocks = self.blocks.get(term)
+        if not blocks:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids = np.concatenate([decode_doc_ids(b[2]) for b in blocks])
+        tfs = np.concatenate([decode_tfs(b[3]) for b in blocks])
+        return ids, tfs
+
+    def top_k_exhaustive(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Dense term-at-a-time scoring (the WAND ground truth)."""
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        touched = False
+        for term in query_terms(query):
+            w = self._weight(term)
+            if w == 0.0:
+                continue
+            ids, tfs = self._term_postings(term)
+            tfn = compute_tfn(tfs, self.doc_len[ids], self.k1, self.b, self.avgdl)
+            scores[ids] += w * tfn
+            touched = True
+        if not touched:
+            return []
+        cand = np.flatnonzero(scores)
+        if cand.size == 0:
+            return []
+        order = np.lexsort((cand, -scores[cand]))
+        top = cand[order[:k]]
+        return [(int(d), float(scores[d])) for d in top]
+
+    def top_k_wand(self, query: str, k: int) -> list[tuple[int, float]]:
+        """WAND top-k with block-level decode skipping.
+
+        Pivot selection uses *term-level* upper bounds (max over the
+        term's block maxes — a current block's max does not bound later
+        blocks); the per-block ``max_tfn`` + ``first_doc`` metadata lets
+        ``advance_to`` skip whole blocks without decoding them. Exact:
+        identical (doc_id, score) top-k as exhaustive scoring (same float
+        op order), verified by tests.
+        """
+        terms = [t for t in query_terms(query) if self._weight(t) > 0.0]
+        if not terms:
+            return []
+        cursors = []  # per term, in sorted-term order
+        for t in terms:
+            blocks = self.blocks[t]
+            w = self._weight(t)
+            cursors.append(
+                {
+                    "w": w,
+                    "ub": w * max(b[1] for b in blocks),  # term upper bound
+                    "blocks": blocks,
+                    "bi": 0,          # current block index
+                    "ids": None,      # decoded current block
+                    "tfn": None,
+                    "pi": 0,          # position within decoded block
+                }
+            )
+
+        def ensure_decoded(c):
+            if c["ids"] is None:
+                _fd, _mt, db, tb = c["blocks"][c["bi"]]
+                ids = decode_doc_ids(db)
+                tfs = decode_tfs(tb)
+                c["ids"] = ids
+                c["tfn"] = compute_tfn(
+                    tfs, self.doc_len[ids], self.k1, self.b, self.avgdl
+                )
+                c["pi"] = 0
+
+        def current_doc(c):
+            if c["bi"] >= len(c["blocks"]):
+                return None
+            ensure_decoded(c)
+            return int(c["ids"][c["pi"]])
+
+        def advance_to(c, target):
+            """Move cursor to first doc >= target, skipping undecoded
+            blocks via their (first_doc) metadata."""
+            while c["bi"] < len(c["blocks"]):
+                blocks = c["blocks"]
+                if c["ids"] is None:
+                    while (
+                        c["bi"] + 1 < len(blocks)
+                        and blocks[c["bi"] + 1][0] <= target
+                    ):
+                        c["bi"] += 1
+                    ensure_decoded(c)
+                ids = c["ids"]
+                pos = int(np.searchsorted(ids, target, side="left"))
+                if pos < len(ids):
+                    c["pi"] = pos
+                    return
+                c["bi"] += 1
+                c["ids"] = None
+
+        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+
+        def offer(doc: int, score: float):
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+        while True:
+            live = [c for c in cursors if current_doc(c) is not None]
+            if not live:
+                break
+            live.sort(key=lambda c: current_doc(c))
+            # pivot: smallest doc whose prefix upper-bound sum can still
+            # enter the heap (>= so exact score==threshold ties with a
+            # smaller doc_id are not lost)
+            theta = heap[0][0] if len(heap) >= k else 0.0
+            ub = 0.0
+            pivot_idx = None
+            for i, c in enumerate(live):
+                ub += c["ub"]
+                if len(heap) < k or ub >= theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break  # no remaining doc can beat the threshold
+            pivot_doc = current_doc(live[pivot_idx])
+            if current_doc(live[0]) == pivot_doc:
+                # fully evaluate pivot_doc: contributions accumulate in
+                # sorted-term (cursor-creation) order for float identity
+                score = 0.0
+                for c in cursors:
+                    if current_doc(c) == pivot_doc:
+                        score = score + c["w"] * float(c["tfn"][c["pi"]])
+                for c in cursors:
+                    if current_doc(c) == pivot_doc:
+                        c["pi"] += 1
+                        if c["pi"] >= len(c["ids"]):
+                            c["bi"] += 1
+                            c["ids"] = None
+                offer(pivot_doc, score)
+            else:
+                # advance the leading cursors up to the pivot
+                for c in live[:pivot_idx]:
+                    advance_to(c, pivot_doc)
+
+        out = [(-nd, s) for s, nd in heap]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+
+class QueryActor:
+    """Actor-pool stage: query batches -> result rows.
+
+    Usage::
+
+        results = queries_ds.map_batches(
+            QueryActor, fn_constructor_args=(index_dir, k, method),
+            batch_format="pyarrow", batch_size=cfg.query_batch_size,
+            concurrency=cfg.query_concurrency)
+    """
+
+    def __init__(self, index_dir: str, k: int | None = None, method: str = "wand"):
+        self.reader = IndexReader(index_dir)
+        self.k = k if k is not None else EngineConfig().top_k
+        self.score = (
+            self.reader.top_k_wand
+            if method == "wand"
+            else self.reader.top_k_exhaustive
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[int] = []
+        ranks: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        for qid, qtext in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("query").to_pylist(),
+        ):
+            for rank, (doc_id, score) in enumerate(
+                self.score(qtext, self.k), start=1
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

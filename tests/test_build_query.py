@@ -1,0 +1,142 @@
+"""Oracle conformance + byte-identity + parallelism-invariance
+(FIXTURES.md invariants 1 and 2)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from semantic_pdf_search_engine_ray.config import EngineConfig
+from semantic_pdf_search_engine_ray.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tiny_pages, tmp_path_factory):
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_pages,
+    )
+
+    index_dir = str(tmp_path_factory.mktemp("index") / "tiny")
+    manifest = build_index_from_pages(tiny_pages, index_dir)
+    return index_dir, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_pages):
+    return OracleIndex.from_pages_table(pq.read_table(tiny_pages))
+
+
+@pytest.fixture(scope="module")
+def query_set(tiny_pages):
+    from semantic_pdf_search_engine_ray.sources.pages import (
+        generate_queries_table,
+    )
+
+    return generate_queries_table(pq.read_table(tiny_pages), n_queries=60)
+
+
+def test_manifest_globals_match_oracle(built_index, oracle):
+    _, manifest = built_index
+    assert manifest["n_docs"] == oracle.n_docs
+    assert manifest["total_tokens"] == oracle.total_tokens
+    assert manifest["avgdl"] == oracle.avgdl
+
+
+def test_docs_byte_identity_and_dedup(built_index, tiny_pages):
+    """docs.text must be byte-identical to the expected pages.text of the
+    url's max-warc_ts row; doc_id must be the rank of the sorted url."""
+    index_dir, _ = built_index
+    docs = pq.read_table(os.path.join(index_dir, "docs"))
+    pages = pq.read_table(tiny_pages)
+
+    expected: dict[str, tuple] = {}
+    for r in pages.select(["url", "warc_ts", "text"]).to_pylist():
+        cur = expected.get(r["url"])
+        if cur is None or r["warc_ts"] > cur[0]:
+            expected[r["url"]] = (r["warc_ts"], r["text"])
+
+    got = {
+        r["url"]: (r["doc_id"], r["text"])
+        for r in docs.select(["url", "doc_id", "text"]).to_pylist()
+    }
+    assert set(got) == set(expected)
+    for rank, url in enumerate(sorted(expected)):
+        doc_id, text = got[url]
+        assert doc_id == rank
+        assert text == expected[url][1]  # byte-identity
+        assert text.encode() == expected[url][1].encode()
+
+
+def test_rank_identity_exhaustive_and_wand(built_index, oracle, query_set):
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    for qid, q in zip(
+        query_set["query_id"].to_pylist(), query_set["query"].to_pylist()
+    ):
+        expected = oracle.score_query(q, 5)
+        got_ex = reader.top_k_exhaustive(q, 5)
+        got_wand = reader.top_k_wand(q, 5)
+        # exact: same docIDs AND bit-identical float64 scores
+        assert got_ex == expected, f"exhaustive mismatch on q{qid}: {q!r}"
+        assert got_wand == expected, f"wand mismatch on q{qid}: {q!r}"
+
+
+def test_query_actor_pipeline(ray_session, built_index, oracle, query_set):
+    """The Ray Data actor-pool query stage returns the same results."""
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.search import run_queries
+
+    index_dir, _ = built_index
+    results = run_queries(
+        index_dir, rd.from_arrow(query_set), EngineConfig()
+    ).to_pandas()
+    by_q = {
+        qid: sorted(zip(g["rank"], g["doc_id"], g["score"]))
+        for qid, g in results.groupby("query_id")
+    }
+    for qid, q in zip(
+        query_set["query_id"].to_pylist(), query_set["query"].to_pylist()
+    ):
+        expected = [
+            (rank, doc, score)
+            for rank, (doc, score) in enumerate(oracle.score_query(q, 5), 1)
+        ]
+        assert by_q.get(qid, []) == expected
+
+
+def test_parallelism_invariance(ray_session, tiny_pages, tmp_path_factory, oracle, query_set):
+    """Same index semantics regardless of input block count (FIXTURES.md
+    invariant 2: any block count)."""
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+        assign_doc_ids,
+    )
+    from semantic_pdf_search_engine_ray.stages.extract import ExtractHtml
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir = str(tmp_path_factory.mktemp("index") / "manyblocks")
+    pages = rd.read_parquet(tiny_pages).repartition(13)
+    extracted = pages.map_batches(
+        ExtractHtml(), batch_format="pyarrow", batch_size=37
+    )
+    docs = assign_doc_ids(extracted)
+    build_index_from_docs(docs, index_dir, input_lineage={"test": "13blocks"})
+    reader = IndexReader(index_dir)
+    for q in query_set["query"].to_pylist()[:25]:
+        assert reader.top_k_wand(q, 5) == oracle.score_query(q, 5)
+
+
+def test_empty_and_oov_queries(built_index):
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    reader = IndexReader(built_index[0])
+    assert reader.top_k_exhaustive("", 5) == []
+    assert reader.top_k_wand("", 5) == []
+    assert reader.top_k_wand("zzzznotaterm qqqqneither", 5) == []
