@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on /root/testdata/sf0.001 — build (or
+  resume) the inverted index over the ``documents`` table, derive the
+  deterministic reference query set, run batch BM25 top-k through the
+  query actor pool; returns the results Dataset.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  (SURVEY.md §2 inventory + training-data additions), paired with DuckDB
+  SQL computing the same table over the same parquet views. Entries
+  without SQL (fuzzy highlights, chunker, simhash, approximate IVF,
+  winnowing) get the driver's rows-only check; the exact variants of
+  those families DO carry oracles.
 """
 
 from __future__ import annotations
@@ -21,24 +23,25 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = cf.ensure_index(sf_dir)
+    queries_tbl = cf.derive_query_table(index_dir)
+    from semantic_pdf_search_engine_ray.pipelines.search import run_queries
+
+    return run_queries(index_dir, rd.from_arrow(queries_tbl), cf.CFG, k=cf.TOP_K)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(cf.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    return dict(cf.ORACLE_SQL)

@@ -45,15 +45,23 @@ def _register_pickle_by_value() -> None:
         "functions.fuzzy",
         "functions.tokenize",
         "functions.codec",
+        "functions.shingle",
+        "functions.chunking",
         "sources.pages",
         "stages.extract",
         "stages.postings",
         "stages.encode",
         "stages.query",
+        "stages.multimodal",
         "state.manifest",
         "oracle",
         "pipelines.build",
         "pipelines.search",
+        "pipelines.dedup",
+        "pipelines.similarity",
+        "pipelines.textstats",
+        "pipelines.windows",
+        "pipelines.conformance",
     ):
         try:
             import_module(f"{__name__}.{sub}")

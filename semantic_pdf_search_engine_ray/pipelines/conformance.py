@@ -1,0 +1,654 @@
+"""Driver-conformance surface: one runner + (where expressible) one
+ANSI-SQL oracle per implemented operator (SURVEY.md §2 inventory plus the
+training-data additions).
+
+Each runner takes ``sf_dir`` (a directory of driver-generated parquet
+tables — ``documents``, ``embeddings``, ``events``) and returns an Arrow
+table / Ray Dataset. The paired SQL strings in ``ORACLE_SQL`` compute the
+same result in DuckDB over the same parquet (the driver pre-registers the
+tables as views). Column names/types match exactly; float results are
+rounded to 6 dp on BOTH sides (fp summation order differs between a
+distributed engine and a single-process SQL engine; per-term/-pair
+contributions are pinned to identical expression trees so 6 dp is far
+beyond the residual error).
+
+The BM25 query set is DERIVED from the data in both engines (top
+``N_HEAD_TERMS`` df-ranked terms -> single-term queries + adjacent-pair
+queries), so one static SQL string validates the full pipeline at any
+scale factor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from semantic_pdf_search_engine_ray.config import EngineConfig, TOKEN_PATTERN
+from semantic_pdf_search_engine_ray.functions.chunking import chunk_document
+from semantic_pdf_search_engine_ray.functions.codec import (
+    decode_doc_ids,
+    decode_tfs,
+)
+from semantic_pdf_search_engine_ray.functions.textnorm import clean_text_robust
+from semantic_pdf_search_engine_ray.pipelines import dedup as dd
+from semantic_pdf_search_engine_ray.pipelines import similarity as sim
+from semantic_pdf_search_engine_ray.pipelines import textstats as ts
+from semantic_pdf_search_engine_ray.pipelines import windows as win
+from semantic_pdf_search_engine_ray.pipelines.build import build_index_from_docs
+from semantic_pdf_search_engine_ray.pipelines.search import (
+    run_queries,
+    run_queries_with_highlights,
+)
+from semantic_pdf_search_engine_ray.stages.multimodal import (
+    ImageDecodeStage,
+    attach_payload_batch,
+)
+from semantic_pdf_search_engine_ray.state import manifest as mf
+
+CFG = EngineConfig()
+N_HEAD_TERMS = 16
+TOP_K = 5
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.5
+EMB_DUP_THRESHOLD = 0.4
+ANN_K = 5
+ANN_QUERIES = 10
+
+
+def documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def embeddings_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(documents_path(sf_dir), columns=["doc_id", "text"])
+
+
+# --------------------------------------------------------------------------
+# index build (cached per sf_dir; StageCheckpoint makes re-calls no-ops)
+# --------------------------------------------------------------------------
+
+def ensure_index(sf_dir: str) -> str:
+    """Build (or resume) the documents-table index for ``sf_dir`` under
+    /tmp; repeat calls hit the committed manifest and return instantly."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/spse_ray_index_{key}"
+    if not mf.is_ready(index_dir):
+        build_index_from_docs(
+            read_docs(sf_dir),
+            index_dir,
+            CFG,
+            input_lineage={"sf_dir": os.path.abspath(sf_dir), "table": "documents"},
+        )
+    return index_dir
+
+
+def derive_query_table(index_dir: str) -> pa.Table:
+    """The deterministic reference query set: top N_HEAD_TERMS terms by
+    (df DESC, term ASC) as single-term queries (query_id = rank), plus
+    adjacent-rank pairs (query_id = N_HEAD_TERMS + rank). Mirrored in SQL
+    by ``_head_cte``."""
+    d = pq.read_table(os.path.join(index_dir, "dictionary"),
+                      columns=["term", "df"])
+    rows = sorted(
+        zip(d.column("term").to_pylist(), d.column("df").to_pylist()),
+        key=lambda r: (-int(r[1]), r[0]),
+    )[:N_HEAD_TERMS]
+    head = [t for t, _ in rows]
+    qids = list(range(len(head)))
+    queries = list(head)
+    for i in range(len(head) - 1):
+        qids.append(N_HEAD_TERMS + i)
+        queries.append(f"{head[i]} {head[i + 1]}")
+    return pa.table(
+        {"query_id": pa.array(qids, type=pa.int64()),
+         "query": pa.array(queries, type=pa.string())}
+    )
+
+
+def pair_query_table(index_dir: str) -> pa.Table:
+    """Adjacent-pair conjunctive queries, query_id = rank (0-based)."""
+    full = derive_query_table(index_dir)
+    mask = [q >= N_HEAD_TERMS for q in full.column("query_id").to_pylist()]
+    pairs = full.filter(pa.array(mask))
+    return pa.table(
+        {"query_id": pa.array(
+            [q - N_HEAD_TERMS for q in pairs.column("query_id").to_pylist()],
+            type=pa.int64()),
+         "query": pairs.column("query")}
+    )
+
+
+def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
+    vals = np.round(
+        np.asarray(tbl.column(col).to_numpy(zero_copy_only=False), dtype=np.float64),
+        digits,
+    )
+    i = tbl.column_names.index(col)
+    return tbl.set_column(i, col, pa.array(vals, type=pa.float64()))
+
+
+def _collect(ds: rd.Dataset) -> pa.Table:
+    parts = [t for t in ray.get(ds.to_arrow_refs())]
+    parts = [p for p in parts if p.num_rows] or parts[:1]
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+# --------------------------------------------------------------------------
+# runners: full-text core
+# --------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str) -> rd.Dataset:
+    return ts.doc_stats(read_docs(sf_dir))
+
+
+def q_token_classes(sf_dir: str) -> rd.Dataset:
+    return ts.token_class_counts(read_docs(sf_dir))
+
+
+def q_quality(sf_dir: str) -> rd.Dataset:
+    return ts.quality(read_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str) -> rd.Dataset:
+    return ts.lang_id(read_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
+    return ts.fingerprints(read_docs(sf_dir)).select_columns(
+        ["doc_id", "content_md5"]
+    )
+
+
+def q_winnow(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints (rows-only: no SQL analog)."""
+    return ts.fingerprints(read_docs(sf_dir)).select_columns(
+        ["doc_id", "n_winnow", "min_winnow"]
+    )
+
+
+def q_term_df(sf_dir: str) -> pa.Table:
+    index_dir = ensure_index(sf_dir)
+    d = pq.read_table(os.path.join(index_dir, "dictionary"),
+                      columns=["term", "df"])
+    return pa.table(
+        {"term": d.column("term"),
+         "df": d.column("df").cast(pa.int64())}
+    ).sort_by("term")
+
+
+def _decode_flat(batch: pa.Table) -> pa.Table:
+    terms_out: list[str] = []
+    ids_out: list[np.ndarray] = []
+    tfs_out: list[np.ndarray] = []
+    reps: list[int] = []
+    for term, docs_blob, tfs_blob in zip(
+        batch.column("term").to_pylist(),
+        batch.column("docs").to_pylist(),
+        batch.column("tfs").to_pylist(),
+    ):
+        ids = decode_doc_ids(docs_blob)
+        terms_out.append(term)
+        reps.append(len(ids))
+        ids_out.append(ids)
+        tfs_out.append(decode_tfs(tfs_blob))
+    term_col = pa.array(
+        np.repeat(np.array(terms_out, dtype=object), reps), type=pa.string()
+    )
+    return pa.table(
+        {"term": term_col,
+         "doc_id": pa.array(np.concatenate(ids_out) if ids_out else [],
+                            type=pa.int64()),
+         "tf": pa.array(np.concatenate(tfs_out) if tfs_out else [],
+                        type=pa.int64())}
+    )
+
+
+def q_term_stats(sf_dir: str) -> rd.Dataset:
+    """Decodes every posting block back to flat rows and re-aggregates —
+    end-to-end validation of the delta+varint codec against SQL."""
+    index_dir = ensure_index(sf_dir)
+    return (
+        rd.read_parquet(os.path.join(index_dir, "postings"),
+                        columns=["term", "docs", "tfs"])
+        .map_batches(_decode_flat, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Count(alias_name="df"),
+            Sum("tf", alias_name="total_tf"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+    )
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    index_dir = ensure_index(sf_dir)
+    queries = derive_query_table(index_dir)
+    res = _collect(run_queries(index_dir, rd.from_arrow(queries), CFG,
+                               k=TOP_K, method="wand"))
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
+    index_dir = ensure_index(sf_dir)
+    queries = pair_query_table(index_dir)
+    res = _collect(run_queries(index_dir, rd.from_arrow(queries), CFG,
+                               k=TOP_K, method="conjunctive"))
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def q_chunks(sf_dir: str) -> rd.Dataset:
+    """Production chunker (C1-semantics; rows-only)."""
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        ids, cids, contents = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for ci, c in enumerate(chunk_document(text)):
+                ids.append(doc_id)
+                cids.append(ci)
+                contents.append(c)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "chunk_id": pa.array(cids, type=pa.int64()),
+             "content": pa.array(contents, type=pa.string())}
+        )
+
+    return read_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow")
+
+
+def q_normalize(sf_dir: str) -> rd.Dataset:
+    """Canonical M1 normalizer over the documents table (rows-only; the
+    byte-identity invariant itself is pytest-enforced on the pages
+    fixture where the expected text column exists)."""
+
+    def norm_batch(batch: pa.Table) -> pa.Table:
+        outs = [clean_text_robust(t) for t in batch.column("text").to_pylist()]
+        md5s = [hashlib.md5(o.encode("utf-8")).hexdigest() for o in outs]
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "clean_md5": pa.array(md5s, type=pa.string()),
+             "clean_chars": pa.array([len(o) for o in outs], type=pa.int64())}
+        )
+
+    return read_docs(sf_dir).map_batches(norm_batch, batch_format="pyarrow")
+
+
+def q_highlights(sf_dir: str) -> pa.Table:
+    """Full query+highlight pipeline (fuzzy re-localization + sentence
+    snap; rows-only — Jaro-Winkler fuzzy spans are not SQL)."""
+    index_dir = ensure_index(sf_dir)
+    queries = derive_query_table(index_dir)
+    _results, highlights = run_queries_with_highlights(
+        index_dir, queries, CFG, k=TOP_K, doc_columns=["text"]
+    )
+    return highlights
+
+
+# --------------------------------------------------------------------------
+# runners: dedup family / similarity / windows / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    return dd.exact_dup_groups(read_docs(sf_dir))
+
+
+def q_dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
+    return dd.ngram_jaccard_pairs(read_docs(sf_dir), n=JACCARD_N,
+                                  threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> pa.Table:
+    return dd.minhash_lsh_pairs(documents_path(sf_dir), n=JACCARD_N,
+                                threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    return dd.simhash_pairs(read_docs(sf_dir), max_hamming=3)
+
+
+def q_dedup_embedding(sf_dir: str) -> pa.Table:
+    return dd.embedding_dup_pairs(embeddings_path(sf_dir),
+                                  threshold=EMB_DUP_THRESHOLD)
+
+
+def q_ann_brute(sf_dir: str) -> pa.Table:
+    return sim.ann_brute_topk(embeddings_path(sf_dir), k=ANN_K,
+                              num_queries=ANN_QUERIES)
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF with nprobe=2 of 8 cells (approximate; rows-only — the
+    full-probe configuration is pytest-asserted equal to brute force)."""
+    return sim.ann_ivf_topk(embeddings_path(sf_dir), k=ANN_K,
+                            num_queries=ANN_QUERIES, n_cells=8, nprobe=2)
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["ts", "event_type", "value"])
+    out = _collect(win.tumbling_agg(events, unit="hour"))
+    for c in ("sum_value", "min_value", "max_value"):
+        out = _round_col(out, c)
+    return out.sort_by([("window_start", "ascending"),
+                        ("event_type", "ascending")])
+
+
+def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
+    return (
+        read_docs(sf_dir)
+        .map_batches(attach_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStage,
+            batch_format="pyarrow",
+            batch_size=32,  # large payloads -> small batches (scale rule)
+            concurrency=(1, 4),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL oracles
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT coalesce(sum(doc_len), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+head AS (
+  SELECT term, r FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS r FROM df
+  ) WHERE r < {N_HEAD_TERMS}
+)
+"""
+
+_BM25_CONTRIB = (
+    f"(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * (1.0 + {CFG.k1})) * "
+    f"(tf.tf / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * (dl.doc_len / s.avgdl))))"
+)
+
+_SQL_BM25_TOPK = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+) WHERE rank <= {TOP_K}
+"""
+
+_SQL_BM25_CONJ = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT a.r::BIGINT AS query_id, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT a.r::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+  HAVING count(*) = 2
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+) WHERE rank <= {TOP_K}
+"""
+
+_SQL_TERM_DF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+"""
+
+_SQL_TERM_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+       min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+FROM tf GROUP BY term
+"""
+
+_SQL_DOC_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS doc_len,
+       length(text)::BIGINT AS text_chars,
+       len(regexp_extract_all(lower(text), '{ts.ALNUM_CHAR_PATTERN}'))::BIGINT AS alnum_chars
+FROM documents
+"""
+
+_SQL_TOKEN_CLASSES = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{ts.WORD_RUN_PATTERN}'))::BIGINT AS n_words,
+       len(regexp_extract_all(text, '{ts.NUMBER_RUN_PATTERN}'))::BIGINT AS n_numbers,
+       len(regexp_extract_all(text, '{ts.PUNCT_CHAR_PATTERN}'))::BIGINT AS n_punct
+FROM documents
+"""
+
+_TRIM_CHARS = "' ' || chr(9) || chr(10) || chr(13)"
+
+_SQL_QUALITY = f"""
+SELECT doc_id,
+       length(trim(text, {_TRIM_CHARS}))::BIGINT AS n_chars_trim,
+       len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '{ts.ALPHA_CHAR_PATTERN}'))::BIGINT AS alpha_chars,
+       CASE WHEN length(text) > 0
+            THEN len(regexp_extract_all(text, '{ts.ALPHA_CHAR_PATTERN}')) * 1.0 / length(text)
+            ELSE 0.0 END AS alpha_ratio,
+       (length(trim(text, {_TRIM_CHARS})) >= {ts.QUALITY_MIN_CHARS}
+        AND len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) >= {ts.QUALITY_MIN_WORDS}
+        AND CASE WHEN length(text) > 0
+            THEN len(regexp_extract_all(text, '{ts.ALPHA_CHAR_PATTERN}')) * 1.0 / length(text)
+            ELSE 0.0 END >= {ts.QUALITY_MIN_ALPHA_RATIO}) AS is_quality
+FROM documents
+"""
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['en'])})))::BIGINT AS en_hits,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['de'])})))::BIGINT AS de_hits,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['fr'])})))::BIGINT AS fr_hits,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['es'])})))::BIGINT AS es_hits
+  FROM toks
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+  CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       WHEN fr_hits >= es_hits THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM hits
+"""
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text, {_TRIM_CHARS})),
+                          '[ \\t\\n\\r]+', ' ', 'g')) AS content_md5
+FROM documents
+"""
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text
+"""
+
+_SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - {JACCARD_N - 1}),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b,
+       round(inter * 1.0 / (sa.c + sb.c - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE inter * 1.0 / (sa.c + sb.c - inter) >= {JACCARD_THRESHOLD}
+"""
+
+_SQL_EMB_DUP = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+"""
+
+_SQL_ANN_BRUTE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ANN_QUERIES}),
+sims AS (
+  SELECT q.vec_id AS query_vec_id, e.vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_vec_id, rank, vec_id, cosine FROM (
+  SELECT query_vec_id, vec_id,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos, 6) AS cosine
+  FROM sims
+) WHERE rank <= {ANN_K}
+"""
+
+_SQL_EVENTS_WINDOW = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha256,
+       (strlen(text) % 640 + 16)::BIGINT AS width,
+       ((strlen(text) // 7) % 480 + 16)::BIGINT AS height,
+       'fake' AS decoder
+FROM documents
+"""
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "token_classes": q_token_classes,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "winnow_fingerprint": q_winnow,
+    "term_df": q_term_df,
+    "term_stats": q_term_stats,
+    "bm25_topk": q_bm25_topk,
+    "bm25_conjunctive": q_bm25_conjunctive,
+    "chunks": q_chunks,
+    "normalize": q_normalize,
+    "highlights": q_highlights,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_brute_topk": q_ann_brute,
+    "ann_ivf_topk": q_ann_ivf,
+    "events_window": q_events_window,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLE_SQL = {
+    "doc_stats": _SQL_DOC_STATS,
+    "token_classes": _SQL_TOKEN_CLASSES,
+    "quality": _SQL_QUALITY,
+    "lang_id": _SQL_LANG_ID,
+    "fingerprint": _SQL_FINGERPRINT,
+    "term_df": _SQL_TERM_DF,
+    "term_stats": _SQL_TERM_STATS,
+    "bm25_topk": _SQL_BM25_TOPK,
+    "bm25_conjunctive": _SQL_BM25_CONJ,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs
+    "dedup_embedding": _SQL_EMB_DUP,
+    "ann_brute_topk": _SQL_ANN_BRUTE,
+    "events_window": _SQL_EVENTS_WINDOW,
+    "multimodal_decode": _SQL_MULTIMODAL,
+    # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
+    # normalize, highlights, dedup_simhash, ann_ivf_topk
+}

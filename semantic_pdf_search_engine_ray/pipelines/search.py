@@ -118,9 +118,16 @@ def run_queries_with_highlights(
     cfg: EngineConfig | None = None,
     *,
     k: int | None = None,
+    doc_columns: list[str] | None = None,
 ) -> tuple[pa.Table, pa.Table]:
-    """Full reference-parity query pipeline -> (results, highlights)."""
+    """Full reference-parity query pipeline -> (results, highlights).
+
+    ``doc_columns`` are the doc-store columns to project into results
+    (must include or default to "text", the highlight haystack)."""
     cfg = cfg or EngineConfig()
+    doc_columns = list(doc_columns or ["url", "text"])
+    if "text" not in doc_columns:
+        doc_columns.append("text")
     results = (
         run_queries(index_dir, rd.from_arrow(queries), cfg, k=k)
         .to_arrow_refs()
@@ -130,7 +137,7 @@ def run_queries_with_highlights(
     results_tbl = pa.concat_tables(
         [t for t in ray.get(results) if t.num_rows >= 0]
     )
-    enriched = enrich_results(index_dir, results_tbl, columns=["url", "text"])
+    enriched = enrich_results(index_dir, results_tbl, columns=doc_columns)
     with_query = enriched.join(queries, keys="query_id", join_type="inner")
     hl_input = rd.from_arrow(
         with_query.select(["query_id", "query", "doc_id", "text"])

@@ -1,0 +1,213 @@
+"""Text-analysis stages over a documents table: language ID, quality
+scoring, token counting, content fingerprinting.
+
+Generalizes the reference's chunk-quality predicates
+(`/root/reference/src/chunk.rs:64-116` ``is_valid_chunk``: min length,
+min words, alpha ratio, ellipsis/code heuristics — SURVEY.md §2.2 M5-M8)
+from per-chunk to per-document, and adds the training-data operators the
+reference lacks. Every numeric rule here is deliberately expressible in
+ANSI SQL (DuckDB RE2 regexes + list lambdas) so the driver's oracle can
+validate the distributed run value-for-value.
+
+Vectorization: per-row counts use ``pyarrow.compute.count_substring_regex``
+(zero-copy Arrow in, no Python row loop); only the token-set membership
+ops (stopword hits) walk tokens, inside an actor-holding-compiled-state
+stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from semantic_pdf_search_engine_ray.config import TOKEN_PATTERN
+from semantic_pdf_search_engine_ray.functions.shingle import winnow_fingerprints
+from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+
+# Patterns shared verbatim with the SQL oracle (RE2-compatible, ASCII
+# classes only so Python re and DuckDB agree byte-for-byte).
+ALPHA_CHAR_PATTERN = "[A-Za-z]"
+ALNUM_CHAR_PATTERN = "[a-z0-9]"
+WORD_RUN_PATTERN = "[A-Za-z]+"
+NUMBER_RUN_PATTERN = "[0-9]+"
+PUNCT_CHAR_PATTERN = "[^A-Za-z0-9 \\t\\n\\r]"
+WS_RUN_PATTERN = "[ \\t\\n\\r]+"
+
+# Tiny pinned stopword lists (module constants = part of the operator
+# contract; the SQL oracle embeds the same lists).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # argmax tie-break priority
+
+# M5 thresholds, doc-level (chunk.rs:74 len>=50; :80 words>=8; :92 ratio>=0.5)
+QUALITY_MIN_CHARS = 50
+QUALITY_MIN_WORDS = 8
+QUALITY_MIN_ALPHA_RATIO = 0.5
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, doc_len, text_chars, alnum_chars) — all vectorized."""
+    lower = pc.utf8_lower(batch.column("text"))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "doc_len": pc.count_substring_regex(lower, TOKEN_PATTERN).cast(
+                pa.int64()
+            ),
+            "text_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+            "alnum_chars": pc.count_substring_regex(
+                lower, ALNUM_CHAR_PATTERN
+            ).cast(pa.int64()),
+        }
+    )
+
+
+def token_class_counts_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token classes: word runs, number runs, punctuation chars."""
+    text = batch.column("text")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_words": pc.count_substring_regex(text, WORD_RUN_PATTERN).cast(
+                pa.int64()
+            ),
+            "n_numbers": pc.count_substring_regex(
+                text, NUMBER_RUN_PATTERN
+            ).cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(text, PUNCT_CHAR_PATTERN).cast(
+                pa.int64()
+            ),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Doc-level M5 predicate + its inputs.
+
+    alpha_ratio = [A-Za-z] chars / chars (chunk.rs:84-92 semantics);
+    is_quality = trimmed chars >= 50 AND words >= 8 AND ratio >= 0.5.
+    Ratios rounded to 6 dp to absorb float formatting across engines.
+    """
+    text = batch.column("text")
+    lower = pc.utf8_lower(text)
+    chars = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+    trimmed = pc.utf8_length(pc.utf8_trim(text, " \t\n\r")).cast(
+        pa.int64()
+    ).to_numpy()  # ASCII-ws trim: pinned to match SQL trim(text, chr-list)
+    words = pc.count_substring_regex(lower, TOKEN_PATTERN).cast(
+        pa.int64()
+    ).to_numpy()
+    alpha = pc.count_substring_regex(text, ALPHA_CHAR_PATTERN).cast(
+        pa.int64()
+    ).to_numpy()
+    ratio = np.where(chars > 0, alpha / np.maximum(chars, 1), 0.0)
+    is_q = (
+        (trimmed >= QUALITY_MIN_CHARS)
+        & (words >= QUALITY_MIN_WORDS)
+        & (ratio >= QUALITY_MIN_ALPHA_RATIO)
+    )
+    # ratio stays UNROUNDED: int/int double division is bit-identical in
+    # every engine, while round() tie rules differ (half-even vs away).
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_chars_trim": pa.array(trimmed, type=pa.int64()),
+            "n_tokens": pa.array(words, type=pa.int64()),
+            "alpha_chars": pa.array(alpha, type=pa.int64()),
+            "alpha_ratio": pa.array(ratio, type=pa.float64()),
+            "is_quality": pa.array(is_q, type=pa.bool_()),
+        }
+    )
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword-hit argmax language ID.
+
+    pred_lang = language with the most stopword token hits (tie order
+    en > de > fr > es); 'und' when no list hits at all. State (frozen
+    sets) built once per actor (T1 pattern)."""
+
+    def __init__(self):
+        self.sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        preds: list[str] = []
+        hit_cols: dict[str, list[int]] = {lang: [] for lang in LANG_ORDER}
+        for t in texts:
+            toks = tokenize(t)
+            best_lang, best_hits = "und", 0
+            for lang in LANG_ORDER:
+                hits = sum(1 for tok in toks if tok in self.sets[lang])
+                hit_cols[lang].append(hits)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            preds.append(best_lang)
+        cols = {"doc_id": pa.array(ids, type=pa.int64()),
+                "pred_lang": pa.array(preds, type=pa.string())}
+        for lang in LANG_ORDER:
+            cols[f"{lang}_hits"] = pa.array(hit_cols[lang], type=pa.int64())
+        return pa.table(cols)
+
+
+_WS_RE = re.compile(WS_RUN_PATTERN)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint: md5 of the whitespace-collapsed, lowercased,
+    trimmed text (the SQL-checkable exact fingerprint), plus winnowing
+    k-gram fingerprints (Schleimer'03; no SQL analog — count + min)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    md5s, n_win, min_win = [], [], []
+    for t in texts:
+        canon = _WS_RE.sub(" ", t.strip(" \t\n\r").lower())
+        md5s.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+        prints = winnow_fingerprints(canon)
+        n_win.append(len(prints))
+        min_win.append(f"{min(prints):016x}" if prints else "")
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "content_md5": pa.array(md5s, type=pa.string()),
+            "n_winnow": pa.array(n_win, type=pa.int64()),
+            "min_winnow": pa.array(min_win, type=pa.string()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# dataset-level entry points
+# --------------------------------------------------------------------------
+
+def doc_stats(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def token_class_counts(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(token_class_counts_batch, batch_format="pyarrow")
+
+
+def quality(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def lang_id(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def fingerprints(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow")

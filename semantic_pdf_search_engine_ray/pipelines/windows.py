@@ -1,0 +1,63 @@
+"""Windowed aggregation over an event stream table.
+
+The reference has no windowing at all (SURVEY.md §2.6: "no joins-proper,
+windows, watermarks"); this is an engine addition for the training-data
+pipeline surface. Tumbling windows are expressed the Ray-Data-first way:
+a vectorized window-assignment ``map_batches`` (Arrow ``floor_temporal``)
+followed by a single hash-keyed ``groupby().aggregate()`` — the window
+key is uniform, so the shuffle has no skew by construction.
+
+Window starts are emitted as int64 epoch seconds (not timestamps) so the
+result is comparable across engines (the SQL oracle uses
+``epoch(date_trunc(...))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
+
+def assign_tumbling(unit: str):
+    """map_batches fn: add ``window_start`` (int64 epoch seconds)."""
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported window unit {unit!r}")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        floored = pc.floor_temporal(batch.column("ts"), unit=unit)
+        epoch_s = pc.divide(
+            pc.cast(floored, pa.int64()), 1_000_000
+        )  # timestamp[us] -> seconds
+        return batch.append_column(
+            "window_start", pc.cast(epoch_s, pa.int64())
+        )
+
+    return assign
+
+
+def tumbling_agg(
+    events: rd.Dataset, unit: str = "hour", key: str = "event_type"
+) -> rd.Dataset:
+    """Per (tumbling window, key): count / sum / min / max of ``value``.
+
+    Pre-aggregation note: Ray Data's hash aggregate already combines
+    per-block before the exchange, so the shuffle moves one partial row
+    per (window, key, block) — the map-side combine the 100 TB plan
+    requires.
+    """
+    return (
+        events.map_batches(assign_tumbling(unit), batch_format="pyarrow")
+        .select_columns(["window_start", key, "value"])
+        .groupby(["window_start", key])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )

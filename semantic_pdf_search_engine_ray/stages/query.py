@@ -55,10 +55,10 @@ class IndexReader:
         dl_tbl = pq.read_table(
             os.path.join(index_dir, "docs"), columns=["doc_id", "doc_len"]
         )
-        self.doc_len = np.zeros(self.n_docs, dtype=np.int64)
-        self.doc_len[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column(
-            "doc_len"
-        ).to_numpy()
+        dl_ids = dl_tbl.column("doc_id").to_numpy()
+        size = max(self.n_docs, int(dl_ids.max()) + 1 if len(dl_ids) else 0)
+        self.doc_len = np.zeros(size, dtype=np.int64)
+        self.doc_len[dl_ids] = dl_tbl.column("doc_len").to_numpy()
 
         # dictionary: term -> df
         d_tbl = pq.read_table(
@@ -102,7 +102,7 @@ class IndexReader:
 
     def top_k_exhaustive(self, query: str, k: int) -> list[tuple[int, float]]:
         """Dense term-at-a-time scoring (the WAND ground truth)."""
-        scores = np.zeros(self.n_docs, dtype=np.float64)
+        scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
         for term in query_terms(query):
             w = self._weight(term)
@@ -120,6 +120,40 @@ class IndexReader:
         order = np.lexsort((cand, -scores[cand]))
         top = cand[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
+
+    def top_k_conjunctive(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Posting-list intersection (AND semantics) + BM25 top-k.
+
+        The generalization of the reference's filtered search (J2,
+        `qdrant.rs:84-93`: filename filter AND-ed with the vector
+        search): only docs containing EVERY query term score. Float
+        accumulation stays term-at-a-time in sorted-term order.
+        """
+        terms = query_terms(query)
+        if not terms:
+            return []
+        postings = []
+        for t in terms:
+            w = self._weight(t)
+            if w == 0.0:
+                return []  # a missing term empties the conjunction
+            ids, tfs = self._term_postings(t)
+            postings.append((w, ids, tfs))
+        postings_by_len = sorted(postings, key=lambda p: len(p[1]))
+        common = postings_by_len[0][1]
+        for _, ids, _ in postings_by_len[1:]:
+            common = common[np.isin(common, ids, assume_unique=True)]
+            if common.size == 0:
+                return []
+        scores = np.zeros(common.size, dtype=np.float64)
+        for w, ids, tfs in postings:  # sorted-term order (not by length)
+            pos = np.searchsorted(ids, common)
+            tfn = compute_tfn(
+                tfs[pos], self.doc_len[common], self.k1, self.b, self.avgdl
+            )
+            scores = scores + w * tfn
+        order = np.lexsort((common, -scores))[:k]
+        return [(int(common[i]), float(scores[i])) for i in order]
 
     def top_k_wand(self, query: str, k: int) -> list[tuple[int, float]]:
         """WAND top-k with block-level decode skipping.
@@ -253,11 +287,11 @@ class QueryActor:
     def __init__(self, index_dir: str, k: int | None = None, method: str = "wand"):
         self.reader = IndexReader(index_dir)
         self.k = k if k is not None else EngineConfig().top_k
-        self.score = (
-            self.reader.top_k_wand
-            if method == "wand"
-            else self.reader.top_k_exhaustive
-        )
+        self.score = {
+            "wand": self.reader.top_k_wand,
+            "exhaustive": self.reader.top_k_exhaustive,
+            "conjunctive": self.reader.top_k_conjunctive,
+        }[method]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids: list[int] = []

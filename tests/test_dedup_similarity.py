@@ -1,0 +1,110 @@
+"""Dedup family + similarity search: the LSH/banded paths must agree
+with their exact baselines (the oracle-checkable contracts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_minhash_lsh_equals_exact_jaccard(ray_session, docs_ds):
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.5)
+    lsh = minhash_lsh_pairs(f"{SF}/documents.parquet", n=3, threshold=0.5)
+    assert exact.num_rows > 0  # fixture plants near-dups
+    assert exact.to_pydict() == lsh.to_pydict()
+
+
+def test_exact_dup_groups_cover_all_docs(ray_session, docs_ds):
+    from semantic_pdf_search_engine_ray.pipelines.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(docs_ds).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert groups["n_copies"].sum() == n_docs
+    assert groups["keep_id"].is_unique
+
+
+def test_simhash_pairs_catch_near_dups(ray_session, docs_ds):
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    sh = simhash_pairs(docs_ds, max_hamming=3)
+    got = set(zip(sh.column("doc_id_a").to_pylist(),
+                  sh.column("doc_id_b").to_pylist()))
+    assert all(h <= 3 for h in sh.column("hamming").to_pylist())
+    # SimHash is approximate: most (not all) very-near dups land within
+    # hamming 3 — tf shifts can flip more bits even at J >= 0.98.
+    exact = ngram_jaccard_pairs(docs_ds, n=3, threshold=0.98)
+    want = set(zip(exact.column("doc_id_a").to_pylist(),
+                   exact.column("doc_id_b").to_pylist()))
+    assert want, "fixture should contain J>=0.98 pairs"
+    assert len(want & got) >= len(want) * 0.7
+
+
+def test_embedding_dup_pairs_match_numpy(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.dedup import embedding_dup_pairs
+
+    got = embedding_dup_pairs(f"{SF}/embeddings.parquet", threshold=0.4)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), 1)
+    mask = sims[iu] >= 0.4
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    assert set(zip(got.column("vec_id_a").to_pylist(),
+                   got.column("vec_id_b").to_pylist())) == want
+
+
+def test_ann_ivf_full_probe_equals_brute(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.similarity import (
+        ann_brute_topk,
+        ann_ivf_topk,
+    )
+
+    brute = ann_brute_topk(f"{SF}/embeddings.parquet", k=5, num_queries=8)
+    ivf = ann_ivf_topk(
+        f"{SF}/embeddings.parquet", k=5, num_queries=8, n_cells=8, nprobe=None
+    )
+    assert brute.num_rows == 40
+    assert brute.to_pydict() == ivf.to_pydict()
+
+
+def test_ann_brute_matches_numpy_reference(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.similarity import ann_brute_topk
+
+    got = ann_brute_topk(f"{SF}/embeddings.parquet", k=3, num_queries=4)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    for qpos in order[:4]:
+        qid = int(ids[qpos])
+        sims = mat[qpos] @ mat.T
+        cand = [(i, s) for i, s in zip(ids, sims) if i != qid]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        mask = [q == qid for q in got.column("query_vec_id").to_pylist()]
+        sub = got.filter(pa.array(mask))
+        assert sub.column("vec_id").to_pylist() == [int(c[0]) for c in cand[:3]]

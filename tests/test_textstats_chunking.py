@@ -1,0 +1,112 @@
+"""Text-analysis batch kernels (pure Arrow in/out — no Ray needed) and
+the ported reference chunker contract."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from semantic_pdf_search_engine_ray.functions.chunking import (
+    chunk_per_page,
+    is_garbage_sentence,
+    is_valid_chunk,
+    looks_like_code,
+    smart_chunk_text,
+)
+from semantic_pdf_search_engine_ray.pipelines.textstats import (
+    LangIdStage,
+    doc_stats_batch,
+    fingerprint_batch,
+    quality_batch,
+    token_class_counts_batch,
+)
+
+
+def _batch(texts: list[str]) -> pa.Table:
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+
+
+def test_doc_stats_counts():
+    out = doc_stats_batch(_batch(["Hello, World 42!", ""]))
+    assert out.column("doc_len").to_pylist() == [3, 0]
+    assert out.column("text_chars").to_pylist() == [16, 0]
+    assert out.column("alnum_chars").to_pylist() == [12, 0]
+
+
+def test_token_classes():
+    out = token_class_counts_batch(_batch(["ab 12 cd-ef, 9!"]))
+    assert out.column("n_words").to_pylist() == [3]  # ab, cd, ef
+    assert out.column("n_numbers").to_pylist() == [2]  # 12, 9
+    assert out.column("n_punct").to_pylist() == [3]  # - , !
+
+
+def test_quality_predicate():
+    good = "the quick brown fox jumps over the lazy dog repeatedly today"
+    bad = "x"
+    out = quality_batch(_batch([good, bad]))
+    assert out.column("is_quality").to_pylist() == [True, False]
+
+
+def test_lang_id_argmax_and_und():
+    stage = LangIdStage()
+    out = stage(_batch([
+        "the cat and the dog in a house",   # en
+        "der hund und die katze ist nicht", # de
+        "zzz qqq www",                       # no stopword hits
+    ]))
+    assert out.column("pred_lang").to_pylist() == ["en", "de", "und"]
+
+
+def test_fingerprint_ws_invariance():
+    out = fingerprint_batch(_batch(["a  b\tc", " a b c "]))
+    md5s = out.column("content_md5").to_pylist()
+    assert md5s[0] == md5s[1]
+
+
+# ---- chunker: reference contract (chunk.rs:562-604 test analog) ----------
+
+PAGE1 = (
+    "Introduction to Systems. "
+    "Distributed systems are collections of independent computers that "
+    "appear to users as a single coherent system. They communicate by "
+    "passing messages over a network and coordinate their actions to "
+    "achieve common goals. "
+    "Fault tolerance is achieved through replication of components. "
+    "Consistency models define the contract between the data store and "
+    "its clients about the results of read and write operations."
+)
+
+
+def test_smart_chunk_nonempty_and_overlap():
+    chunks = smart_chunk_text(PAGE1, chunk_size=200, remove_headers=False)
+    assert chunks
+    assert all(c.strip() for c in chunks)
+    if len(chunks) > 1:
+        # overlap carry: some sentence text of chunk i reappears in i+1
+        tail = chunks[0].split(".")[-2]
+        assert tail.strip()[:20] in chunks[1]
+
+
+def test_chunk_per_page_filters_garbage():
+    toc = "Chapter 1 . . . . . . . . . . . . . . 3"
+    chunks = chunk_per_page(toc)
+    assert all(not is_garbage_sentence(c) for c in chunks)
+
+
+def test_is_valid_chunk_thresholds():
+    assert not is_valid_chunk("short")
+    assert not is_valid_chunk("references")
+    assert not is_valid_chunk(
+        "{ } function var const let => // { } function more filler words here"
+    )
+    assert is_valid_chunk(
+        "This sentence has more than eight words and plenty of alphabetic "
+        "characters to pass every check."
+    )
+
+
+def test_looks_like_code():
+    assert looks_like_code("function f() { return x => x; }")
+    assert not looks_like_code("plain prose without indicators")
