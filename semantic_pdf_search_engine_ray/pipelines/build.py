@@ -127,22 +127,144 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
 # --------------------------------------------------------------------------
 
 def detect_hot_terms(docs_dir: str, cfg: EngineConfig) -> set[str]:
-    """Estimate head terms from a doc sample (df_sample/n >= threshold)."""
-    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    """Estimate head terms from a doc sample (df_sample/n >= threshold).
 
-    sample = (
-        rd.read_parquet(docs_dir, columns=["text"])
-        .limit(cfg.hot_term_sample)
-        .take_all()
-    )
-    if not sample:
+    Driver-side by design — the sample is bounded (cfg.hot_term_sample)
+    regardless of corpus size, and the Arrow kernels (lower/split/group)
+    keep it a few ms, so no Ray job is spent on it."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(docs_dir).head(cfg.hot_term_sample, columns=["text"])
+    n = tbl.num_rows
+    if n == 0:
         return set()
-    df: dict[str, int] = {}
-    for row in sample:
-        for t in set(tokenize(row["text"])):
-            df[t] = df.get(t, 0) + 1
-    n = len(sample)
-    return {t for t, c in df.items() if c / n >= cfg.hot_df_threshold}
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(tbl.column("text")), "[^a-z0-9]+", " "
+    )
+    lists = pc.split_pattern(cleaned, " ")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    pairs = pa.table({"i": parents.filter(mask), "term": flat.filter(mask)})
+    uniq = pairs.group_by(["i", "term"]).aggregate([])
+    df = uniq.group_by("term").aggregate([("i", "count")])
+    return {
+        t
+        for t, c in zip(df.column("term").to_pylist(),
+                        df.column("i_count").to_pylist())
+        if c / n >= cfg.hot_df_threshold
+    }
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Total rows of a parquet directory from footers only (no data read)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(path, name)).num_rows
+    return total
+
+
+# Above this row count, small post-shuffle aggregations (global stats,
+# dictionary) run as distributed Ray jobs; below it a driver-side Arrow
+# pass is faster than one Ray job's fixed cost.
+DRIVER_AGG_MAX_ROWS = 20_000_000
+
+
+def _target_blocks() -> int:
+    """Block-count target for the wide reads: ~4 blocks per core.
+
+    Ray Data's driver schedules every task serially (~ms each); letting
+    block count track the input's file count makes driver scheduling a
+    serial O(files) term that caps scaling. Pinning blocks to cluster
+    parallelism keeps driver work constant per job regardless of input
+    size (tasks just get bigger — which is what a streaming executor
+    wants)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus * 4)
+
+
+# --------------------------------------------------------------------------
+# hash-partitioned two-phase shuffle (the scale path)
+# --------------------------------------------------------------------------
+
+def make_term_partitioner(
+    n_partitions: int, hot_terms: set[str], n_docs: int, salt_buckets: int
+):
+    """map_batches fn adding ``part = crc32(term) % P`` (int64).
+
+    Hot terms are salted by contiguous doc_id range (same invariant as
+    make_salter: each (term, salt) sub-list covers a disjoint doc range,
+    so per-partition encoded runs concatenate into a doc_id-sorted
+    posting list at read time). Terms are dictionary-encoded per batch so
+    the Python crc32 loop touches only unique terms, not rows.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    hot = hot_terms
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column("term")).combine_chunks()
+        dic = enc.dictionary.to_pylist()
+        base = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in dic),
+            dtype=np.int64, count=len(dic),
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        part = base[idx] % n_partitions
+        if hot:
+            is_hot = np.asarray([t in hot for t in dic], dtype=bool)[idx]
+            if is_hot.any():
+                doc_ids = batch.column("doc_id").to_numpy()
+                salt = np.minimum(
+                    (doc_ids * salt_buckets) // max(n_docs, 1),
+                    salt_buckets - 1,
+                )
+                part = np.where(
+                    is_hot, (base[idx] + 1 + salt) % n_partitions, part
+                )
+        return batch.append_column("part", pa.array(part, type=pa.int64()))
+
+    return add_part
+
+
+class EncodePartition:
+    """One task per term-hash partition directory: read -> Arrow sort by
+    (term, doc_id) -> delta+varint block encode. Replaces the global
+    sample-sort exchange with an embarrassingly-parallel local sort (each
+    partition fits one task's heap; at 100 TB ``cfg.num_partitions``
+    scales to keep it that way)."""
+
+    def __init__(self, k1: float, b: float, avgdl: float, block_size: int):
+        self.encoder = EncodeBlocks(k1, b, avgdl, block_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from semantic_pdf_search_engine_ray.stages.encode import BLOCKS_SCHEMA
+
+        # one task per core is the unit of parallelism here; Arrow's own
+        # thread pools would oversubscribe (32 tasks x 32 threads)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        outs = []
+        for d in batch.column("part_dir").to_pylist():
+            tbl = pq.read_table(d, columns=["term", "doc_id", "tf", "dl"])
+            if tbl.num_rows == 0:
+                continue
+            tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+            outs.append(self.encoder(tbl))
+        return pa.concat_tables(outs) if outs else BLOCKS_SCHEMA.empty_table()
 
 
 # --------------------------------------------------------------------------
@@ -155,14 +277,21 @@ def build_index_from_docs(
     cfg: EngineConfig | None = None,
     *,
     input_lineage: dict | None = None,
-    shuffle_mode: str = "sort",
+    shuffle_mode: str = "hash_partition",
 ) -> dict:
     """Build an index from a docs dataset with (doc_id, text [, url, ...]).
 
-    shuffle_mode: "sort" (default; global (term, doc_id) range sort, hot
-    terms split naturally at range boundaries) or "groupby_salt" (explicit
-    groupby((term, salt)) with doc_id-range salting of sampled hot terms).
-    Both produce the same decoded index (tests/test_salting.py).
+    shuffle_mode:
+    - "hash_partition" (default, the scale path): postings spill into
+      ``cfg.num_partitions`` term-hash parquet buckets (hot terms salted
+      by doc range across buckets), then one local sort+encode task per
+      bucket. No global sample-sort exchange; resumes at partition
+      granularity (phase 1 and phase 2 are separate checkpoints).
+    - "sort": global (term, doc_id) range sort; hot terms split naturally
+      at range boundaries.
+    - "groupby_salt": explicit groupby((term, salt)) with doc_id-range
+      salting of sampled hot terms.
+    All three produce the same decoded index (tests/test_salting_resume.py).
     """
     cfg = cfg or EngineConfig()
     os.makedirs(index_dir, exist_ok=True)
@@ -184,14 +313,22 @@ def build_index_from_docs(
         stage_metrics["docs"] = mf.load_stage_entry(index_dir, "docs")
     docs_dir = os.path.join(index_dir, "docs")
 
-    # -- global stats (cheap columnar read) ----------------------------------
-    stats = (
-        rd.read_parquet(docs_dir, columns=["doc_len"])
-        .aggregate(Sum("doc_len", alias_name="total_tokens"),
-                   Count(alias_name="n_docs"))
-    )
-    n_docs = int(stats["n_docs"])
-    total_tokens = int(stats["total_tokens"] or 0)
+    # -- global stats (footer-gated: driver-side Arrow pass when small,
+    #    distributed aggregate when the docs table is big) -------------------
+    if _parquet_dir_rows(docs_dir) <= DRIVER_AGG_MAX_ROWS:
+        import pyarrow.parquet as _pq
+
+        dl = _pq.read_table(docs_dir, columns=["doc_len"]).column("doc_len")
+        n_docs = len(dl)
+        total_tokens = int(np.sum(dl.to_numpy(zero_copy_only=False))) if n_docs else 0
+    else:
+        stats = (
+            rd.read_parquet(docs_dir, columns=["doc_len"])
+            .aggregate(Sum("doc_len", alias_name="total_tokens"),
+                       Count(alias_name="n_docs"))
+        )
+        n_docs = int(stats["n_docs"])
+        total_tokens = int(stats["total_tokens"] or 0)
     avgdl = total_tokens / n_docs if n_docs else 0.0
 
     # -- stage: postings (tokenize -> shuffle -> encode) ---------------------
@@ -206,14 +343,52 @@ def build_index_from_docs(
         out = post_ck.fresh_dir()
         t0 = time.monotonic()
         postings = rd.read_parquet(
-            docs_dir, columns=["doc_id", "text", "doc_len"]
+            docs_dir, columns=["doc_id", "text", "doc_len"],
+            override_num_blocks=_target_blocks(),
         ).map_batches(
             TokenizePostings(),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         )
         encoder = EncodeBlocks(cfg.k1, cfg.b, avgdl, cfg.block_size)
-        if shuffle_mode == "sort":
+        if shuffle_mode == "hash_partition":
+            hot_terms = detect_hot_terms(docs_dir, cfg)
+            parts_ck = mf.StageCheckpoint(
+                index_dir, "postings_parts",
+                {**lineage_base, "stage": "postings_parts",
+                 "n_partitions": cfg.num_partitions},
+            )
+            parts_dir = os.path.join(index_dir, "postings_parts")
+            if not parts_ck.is_complete():
+                parts_out = parts_ck.fresh_dir()
+                postings.map_batches(
+                    make_term_partitioner(
+                        cfg.num_partitions, hot_terms, n_docs, cfg.salt_buckets
+                    ),
+                    batch_format="pyarrow",
+                ).write_parquet(parts_out, partition_cols=["part"])
+                stage_metrics["postings_parts"] = parts_ck.commit(
+                    extra_metrics={"hot_terms": sorted(hot_terms)}
+                )
+            else:
+                stage_metrics["postings_parts"] = mf.load_stage_entry(
+                    index_dir, "postings_parts"
+                )
+            t_encode0 = time.monotonic()
+            part_dirs = sorted(
+                os.path.join(parts_dir, d)
+                for d in os.listdir(parts_dir)
+                if d.startswith("part=")
+            )
+            blocks = rd.from_items(
+                [{"part_dir": d} for d in part_dirs],
+                override_num_blocks=max(len(part_dirs), 1),
+            ).map_batches(
+                EncodePartition(cfg.k1, cfg.b, avgdl, cfg.block_size),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        elif shuffle_mode == "sort":
             blocks = postings.sort(["term", "doc_id"]).map_batches(
                 encoder, batch_format="pyarrow", batch_size=None
             )
@@ -230,13 +405,17 @@ def build_index_from_docs(
         else:
             raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
         blocks.write_parquet(out)
-        stage_metrics["postings"] = post_ck.commit(
-            extra_metrics={
-                "shuffle_mode": shuffle_mode,
-                "hot_terms": sorted(hot_terms),
-                "encode_wall_ms": round((time.monotonic() - t0) * 1000, 1),
-            }
-        )
+        t_end = time.monotonic()
+        extra = {
+            "shuffle_mode": shuffle_mode,
+            "hot_terms": sorted(hot_terms),
+            "encode_wall_ms": round((t_end - t0) * 1000, 1),
+        }
+        if shuffle_mode == "hash_partition":
+            extra["phase2_encode_wall_ms"] = round(
+                (t_end - t_encode0) * 1000, 1
+            )
+        stage_metrics["postings"] = post_ck.commit(extra_metrics=extra)
     else:
         stage_metrics["postings"] = mf.load_stage_entry(index_dir, "postings")
 
@@ -246,15 +425,27 @@ def build_index_from_docs(
     )
     if not dict_ck.is_complete():
         out = dict_ck.fresh_dir()
-        (
-            rd.read_parquet(
-                os.path.join(index_dir, "postings"), columns=["term", "n_docs"]
+        postings_dir = os.path.join(index_dir, "postings")
+        if _parquet_dir_rows(postings_dir) <= DRIVER_AGG_MAX_ROWS:
+            # block-metadata rows are ~corpus/block_size: driver-side
+            # Arrow group_by beats a shuffle job until ~10^10 docs
+            import pyarrow.parquet as _pq
+
+            agg = (
+                _pq.read_table(postings_dir, columns=["term", "n_docs"])
+                .group_by("term")
+                .aggregate([("n_docs", "sum"), ("n_docs", "count")])
+                .rename_columns(["term", "df", "n_blocks"])
             )
-            .groupby("term")
-            .aggregate(Sum("n_docs", alias_name="df"),
-                       Count(alias_name="n_blocks"))
-            .write_parquet(out)
-        )
+            _pq.write_table(agg, os.path.join(out, "dictionary.parquet"))
+        else:
+            (
+                rd.read_parquet(postings_dir, columns=["term", "n_docs"])
+                .groupby("term")
+                .aggregate(Sum("n_docs", alias_name="df"),
+                           Count(alias_name="n_blocks"))
+                .write_parquet(out)
+            )
         stage_metrics["dictionary"] = dict_ck.commit()
     else:
         stage_metrics["dictionary"] = mf.load_stage_entry(index_dir, "dictionary")
@@ -276,12 +467,13 @@ def build_index_from_pages(
     pages_path: str | list[str],
     index_dir: str,
     cfg: EngineConfig | None = None,
-    shuffle_mode: str = "sort",
+    shuffle_mode: str = "hash_partition",
 ) -> dict:
     """Full pipeline from a Common-Crawl-style pages parquet table."""
     cfg = cfg or EngineConfig()
     pages = rd.read_parquet(
-        pages_path, columns=["url", "warc_ts", "html", "lang"]
+        pages_path, columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=_target_blocks(),
     )
     extracted = pages.map_batches(
         ExtractHtml(cfg.remove_headers),

@@ -241,7 +241,7 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     index_dir = ensure_index(sf_dir)
     queries = derive_query_table(index_dir)
     res = _collect(run_queries(index_dir, rd.from_arrow(queries), CFG,
-                               k=TOP_K, method="wand"))
+                               k=TOP_K, method="auto"))
     res = _round_col(res, "score")
     return res.rename_columns(
         ["query_id", "rank", "doc_id", "score_r"]

@@ -32,7 +32,7 @@ def run_queries(
     cfg: EngineConfig | None = None,
     *,
     k: int | None = None,
-    method: str = "wand",
+    method: str = "auto",
 ) -> rd.Dataset:
     """(query_id, query) -> (query_id, rank, doc_id, score)."""
     cfg = cfg or EngineConfig()

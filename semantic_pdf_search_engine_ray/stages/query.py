@@ -81,6 +81,20 @@ class IndexReader:
             self.blocks.setdefault(t, []).append((int(fd), float(mt), db, tb))
         for lst in self.blocks.values():
             lst.sort(key=lambda x: x[0])
+        # decoded-postings cache: the index is immutable, head terms recur
+        # across queries — decode each term's list at most once per actor
+        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._tfn_cache: dict[str, np.ndarray] = {}
+
+    def _term_tfn(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfn) for a term — tfn is a pure function of the
+        immutable (tf, doc_len) so it is cached alongside the postings."""
+        tfn = self._tfn_cache.get(term)
+        ids, tfs = self._term_postings(term)
+        if tfn is None:
+            tfn = compute_tfn(tfs, self.doc_len[ids], self.k1, self.b, self.avgdl)
+            self._tfn_cache[term] = tfn
+        return ids, tfn
 
     # -- scoring ------------------------------------------------------------
 
@@ -92,13 +106,21 @@ class IndexReader:
         return idf * (self.k1 + 1.0)
 
     def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Concatenated decoded (doc_ids, tfs) for a term, doc_id-ascending."""
+        """Concatenated decoded (doc_ids, tfs) for a term, doc_id-ascending.
+        Cached per reader (immutable index)."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
         blocks = self.blocks.get(term)
         if not blocks:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        ids = np.concatenate([decode_doc_ids(b[2]) for b in blocks])
-        tfs = np.concatenate([decode_tfs(b[3]) for b in blocks])
-        return ids, tfs
+            out = (np.empty(0, np.int64), np.empty(0, np.int64))
+        else:
+            out = (
+                np.concatenate([decode_doc_ids(b[2]) for b in blocks]),
+                np.concatenate([decode_tfs(b[3]) for b in blocks]),
+            )
+        self._postings_cache[term] = out
+        return out
 
     def top_k_exhaustive(self, query: str, k: int) -> list[tuple[int, float]]:
         """Dense term-at-a-time scoring (the WAND ground truth)."""
@@ -108,8 +130,7 @@ class IndexReader:
             w = self._weight(term)
             if w == 0.0:
                 continue
-            ids, tfs = self._term_postings(term)
-            tfn = compute_tfn(tfs, self.doc_len[ids], self.k1, self.b, self.avgdl)
+            ids, tfn = self._term_tfn(term)
             scores[ids] += w * tfn
             touched = True
         if not touched:
@@ -154,6 +175,22 @@ class IndexReader:
             scores = scores + w * tfn
         order = np.lexsort((common, -scores))[:k]
         return [(int(common[i]), float(scores[i])) for i in order]
+
+    def top_k_auto(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Cost-based choice between WAND and exhaustive scoring.
+
+        WAND's doc-at-a-time pivot loop wins when query terms are
+        selective (it skips decoding most blocks); for head-term queries
+        whose posting mass covers a large corpus fraction, the vectorized
+        dense scorer is faster than any Python-level iteration. Both
+        return bit-identical results (tested), so this is purely a
+        physical-plan decision — the same call a per-shard query actor
+        makes at 10^12-doc scale from its local df stats.
+        """
+        total_df = sum(int(self.df.get(t, 0)) for t in query_terms(query))
+        if total_df * 8 >= self.n_docs:
+            return self.top_k_exhaustive(query, k)
+        return self.top_k_wand(query, k)
 
     def top_k_wand(self, query: str, k: int) -> list[tuple[int, float]]:
         """WAND top-k with block-level decode skipping.
@@ -288,6 +325,7 @@ class QueryActor:
         self.reader = IndexReader(index_dir)
         self.k = k if k is not None else EngineConfig().top_k
         self.score = {
+            "auto": self.reader.top_k_auto,
             "wand": self.reader.top_k_wand,
             "exhaustive": self.reader.top_k_exhaustive,
             "conjunctive": self.reader.top_k_conjunctive,
