@@ -73,7 +73,36 @@ def main(argv: list[str] | None = None) -> int:
     qb.add_argument("--output", required=True)
     qb.add_argument("-k", type=int, default=5)
 
+    rp = sub.add_parser(
+        "repl",
+        help="interactive search loop over a committed index (the analog "
+             "of the reference REPL, repl.rs:56-126)",
+    )
+    rp.add_argument("--index", required=True)
+    rp.add_argument("-k", type=int, default=5)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "repl":
+        from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+        reader = IndexReader(args.index)
+        print(f"index ready: {reader.n_docs} docs, {len(reader.df)} terms. "
+              "commands: search <query> | quit", flush=True)
+        for line in sys.stdin:
+            line = line.strip()
+            if line in ("quit", "exit", ""):
+                if line:
+                    break
+                continue
+            query = line[7:] if line.startswith("search ") else line
+            for rank, (doc_id, score) in enumerate(
+                reader.top_k_auto(query, args.k), start=1
+            ):
+                print(json.dumps(
+                    {"rank": rank, "doc_id": doc_id, "score": score}
+                ), flush=True)
+        return 0
 
     if args.cmd == "query":
         # single query needs no Ray session: the reader is local state

@@ -220,11 +220,11 @@ def minhash_lsh_pairs(
     once for verification (candidates << corpus).
     """
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    # instance (task pool), not actor pool: the hasher's permutation table
+    # is a 2 KB numpy array — serializing it per task is far cheaper than
+    # actor startup
     bands_ds = docs.map_batches(
-        MinHashBandStage,
-        fn_constructor_args=(n, num_perm, bands),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        MinHashBandStage(n, num_perm, bands), batch_format="pyarrow"
     )
     cand = (
         bands_ds.groupby("band_key")
@@ -317,9 +317,7 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
     """Doc pairs with SimHash hamming distance <= max_hamming (default 3,
     requiring the 4-chunk pigeonhole to be exact). Banded: group by each
     16-bit chunk value, pair within buckets, verify exact hamming, dedup."""
-    sigs = docs.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
-    ).materialize()
+    sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow").materialize()
     sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
     sig_map = dict(
         zip(sig_tbl.column("doc_id").to_pylist(),

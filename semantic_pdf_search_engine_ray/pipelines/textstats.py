@@ -204,9 +204,9 @@ def quality(docs: rd.Dataset) -> rd.Dataset:
 
 
 def lang_id(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=(1, 8)
-    )
+    # instance (task pool): the stopword frozensets are tiny; actor-pool
+    # startup would dominate at any batch count
+    return docs.map_batches(LangIdStage(), batch_format="pyarrow")
 
 
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
