@@ -73,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     qb.add_argument("--output", required=True)
     qb.add_argument("-k", type=int, default=5)
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP search endpoint over a committed index (the analog of "
+             "the reference's serve mode, repl.rs:243-283: GET "
+             "/api/search?q=...&k=5 -> JSON hits; GET /api/ready -> "
+             "readiness from the manifest)",
+    )
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--port", type=int, default=8787)
+    sv.add_argument("-k", type=int, default=5)
+
     rp = sub.add_parser(
         "repl",
         help="interactive search loop over a committed index (the analog "
@@ -82,6 +93,57 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("-k", type=int, default=5)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        import urllib.parse
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from semantic_pdf_search_engine_ray.stages.query import IndexReader
+        from semantic_pdf_search_engine_ray.state.manifest import is_ready
+
+        reader = IndexReader(args.index)
+        default_k = args.k
+        index_dir = args.index
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, payload, code=200):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(url.query)
+                if url.path == "/api/ready":
+                    self._json({"ready": is_ready(index_dir)})
+                elif url.path == "/api/search":
+                    q = (qs.get("q") or [""])[0]
+                    if not q.strip():
+                        self._json([])  # empty query -> [] (search.rs:20-22)
+                        return
+                    k = int((qs.get("k") or [default_k])[0])
+                    hits = reader.top_k_auto(q, k)
+                    self._json([
+                        {"rank": r, "doc_id": d, "score": s}
+                        for r, (d, s) in enumerate(hits, start=1)
+                    ])
+                else:
+                    self._json({"error": "not found"}, code=404)
+
+        srv = HTTPServer(("127.0.0.1", args.port), Handler)
+        print(json.dumps({"serving": f"http://127.0.0.1:{args.port}",
+                          "n_docs": reader.n_docs}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
 
     if args.cmd == "repl":
         from semantic_pdf_search_engine_ray.stages.query import IndexReader

@@ -74,6 +74,15 @@ def _is_control(ch: str) -> bool:
     return o < 0x20 or 0x7F <= o <= 0x9F
 
 
+# Deletion table equivalent to: drop chars where _is_control(c) and c not
+# in "\n\t" — str.translate is a C loop over the same predicate.
+_CONTROL_DELETE = {
+    o: None
+    for o in (*range(0x20), *range(0x7F, 0xA0))
+    if chr(o) not in "\n\t"
+}
+
+
 def is_likely_header(line: str) -> bool:
     """Header heuristic — port of chunk.rs:345-380."""
     trimmed = line.strip()
@@ -130,7 +139,7 @@ def clean_text_robust(text: str, remove_headers: bool = False) -> str:
 
     kept = []
     for line in _lines(cleaned):
-        letters = sum(1 for c in line if c.isalpha())
+        letters = sum(map(str.isalpha, line))
         total = len(line)
         if total == 0 or letters * 4 >= total:
             kept.append(line)
@@ -148,7 +157,7 @@ def clean_text_robust(text: str, remove_headers: bool = False) -> str:
         parts.append(line)
     cleaned = "".join(parts)
 
-    cleaned = "".join(c for c in cleaned if not _is_control(c) or c in "\n\t")
+    cleaned = cleaned.translate(_CONTROL_DELETE)
     cleaned = _WS_RE.sub(" ", cleaned)
     for src, dst in _LIGATURE_REPLACEMENTS:
         cleaned = cleaned.replace(src, dst)

@@ -85,12 +85,17 @@ def read_docs(sf_dir: str) -> rd.Dataset:
 
 def ensure_index(sf_dir: str) -> str:
     """Build (or resume) the documents-table index for ``sf_dir`` under
-    /tmp; repeat calls hit the committed manifest and return instantly."""
+    /tmp; repeat calls hit the committed manifest and return instantly.
+    The docs store carries ``lang`` so filtered search can resolve
+    doc-subset predicates without touching the source table."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    index_dir = f"/tmp/spse_ray_index_{key}"
+    index_dir = f"/tmp/spse_ray_index_v2_{key}"
     if not mf.is_ready(index_dir):
+        docs = rd.read_parquet(
+            documents_path(sf_dir), columns=["doc_id", "text", "lang"]
+        )
         build_index_from_docs(
-            read_docs(sf_dir),
+            docs,
             index_dir,
             CFG,
             input_lineage={"sf_dir": os.path.abspath(sf_dir), "table": "documents"},
@@ -253,6 +258,21 @@ def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
     queries = pair_query_table(index_dir)
     res = _collect(run_queries(index_dir, rd.from_arrow(queries), CFG,
                                k=TOP_K, method="conjunctive"))
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
+    """BM25 top-k restricted to lang='en' docs (J2 filename-filter
+    analog: the predicate is AND-ed into scoring, not post-filtered —
+    ranks 1..k are filled from the allowed subset)."""
+    index_dir = ensure_index(sf_dir)
+    queries = derive_query_table(index_dir)
+    res = _collect(run_queries(index_dir, rd.from_arrow(queries), CFG,
+                               k=TOP_K, filter_col="lang",
+                               filter_value="en"))
     res = _round_col(res, "score")
     return res.rename_columns(
         ["query_id", "rank", "doc_id", "score_r"]
@@ -451,6 +471,34 @@ SELECT query_id, rank, doc_id, score_r FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+_SQL_BM25_LANG = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+) WHERE rank <= {TOP_K}
+"""
+
 _SQL_TERM_DF = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -618,6 +666,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bm25_lang_filtered": q_bm25_lang_filtered,
     "chunks": q_chunks,
     "normalize": q_normalize,
     "highlights": q_highlights,
@@ -642,6 +691,7 @@ ORACLE_SQL = {
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,
     "bm25_conjunctive": _SQL_BM25_CONJ,
+    "bm25_lang_filtered": _SQL_BM25_LANG,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs

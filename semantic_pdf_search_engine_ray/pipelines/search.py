@@ -33,12 +33,18 @@ def run_queries(
     *,
     k: int | None = None,
     method: str = "auto",
+    filter_col: str | None = None,
+    filter_value: str | None = None,
 ) -> rd.Dataset:
-    """(query_id, query) -> (query_id, rank, doc_id, score)."""
+    """(query_id, query) -> (query_id, rank, doc_id, score).
+
+    ``filter_col``/``filter_value``: optional doc-subset predicate on a
+    docs-store column (the reference's filename-filtered search, J2)."""
     cfg = cfg or EngineConfig()
     return queries_ds.map_batches(
         QueryActor,
-        fn_constructor_args=(index_dir, k if k is not None else cfg.top_k, method),
+        fn_constructor_args=(index_dir, k if k is not None else cfg.top_k,
+                             method, filter_col, filter_value),
         batch_format="pyarrow",
         batch_size=cfg.query_batch_size,
         concurrency=cfg.query_concurrency,

@@ -122,8 +122,15 @@ class IndexReader:
         self._postings_cache[term] = out
         return out
 
-    def top_k_exhaustive(self, query: str, k: int) -> list[tuple[int, float]]:
-        """Dense term-at-a-time scoring (the WAND ground truth)."""
+    def top_k_exhaustive(
+        self, query: str, k: int, allowed: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
+        """Dense term-at-a-time scoring (the WAND ground truth).
+
+        ``allowed``: optional bool mask over doc_id (len == doc space) —
+        the generalization of the reference's filename filter AND-ed into
+        the search (J2, `qdrant.rs:84-93`); docs outside the mask never
+        enter the heap."""
         scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
         for term in query_terms(query):
@@ -135,6 +142,8 @@ class IndexReader:
             touched = True
         if not touched:
             return []
+        if allowed is not None:
+            scores[~allowed] = 0.0
         cand = np.flatnonzero(scores)
         if cand.size == 0:
             return []
@@ -175,6 +184,14 @@ class IndexReader:
             scores = scores + w * tfn
         order = np.lexsort((common, -scores))[:k]
         return [(int(common[i]), float(scores[i])) for i in order]
+
+    def top_k_filtered(
+        self, query: str, k: int, allowed: np.ndarray
+    ) -> list[tuple[int, float]]:
+        """Doc-subset-filtered top-k (dense path; a filter breaks WAND's
+        upper-bound pruning, and the dense scorer is already the faster
+        plan for the filtered candidate mass)."""
+        return self.top_k_exhaustive(query, k, allowed=allowed)
 
     def top_k_auto(self, query: str, k: int) -> list[tuple[int, float]]:
         """Cost-based choice between WAND and exhaustive scoring.
@@ -321,15 +338,35 @@ class QueryActor:
             concurrency=cfg.query_concurrency)
     """
 
-    def __init__(self, index_dir: str, k: int | None = None, method: str = "wand"):
+    def __init__(
+        self,
+        index_dir: str,
+        k: int | None = None,
+        method: str = "wand",
+        filter_col: str | None = None,
+        filter_value: str | None = None,
+    ):
         self.reader = IndexReader(index_dir)
         self.k = k if k is not None else EngineConfig().top_k
-        self.score = {
-            "auto": self.reader.top_k_auto,
-            "wand": self.reader.top_k_wand,
-            "exhaustive": self.reader.top_k_exhaustive,
-            "conjunctive": self.reader.top_k_conjunctive,
-        }[method]
+        if filter_col is not None:
+            # doc-subset predicate resolved ONCE per actor from the docs
+            # store (J2 filename-filter analog, `qdrant.rs:84-93`)
+            f_tbl = pq.read_table(
+                os.path.join(index_dir, "docs"),
+                columns=["doc_id", filter_col],
+            )
+            allowed = np.zeros(len(self.reader.doc_len), dtype=bool)
+            vals = f_tbl.column(filter_col).to_pylist()
+            ids = f_tbl.column("doc_id").to_numpy()
+            allowed[ids[[v == filter_value for v in vals]]] = True
+            self.score = lambda q, k: self.reader.top_k_filtered(q, k, allowed)
+        else:
+            self.score = {
+                "auto": self.reader.top_k_auto,
+                "wand": self.reader.top_k_wand,
+                "exhaustive": self.reader.top_k_exhaustive,
+                "conjunctive": self.reader.top_k_conjunctive,
+            }[method]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids: list[int] = []
