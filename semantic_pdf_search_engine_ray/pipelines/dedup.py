@@ -226,16 +226,23 @@ def minhash_lsh_pairs(
     bands_ds = docs.map_batches(
         MinHashBandStage(n, num_perm, bands), batch_format="pyarrow"
     )
-    cand = (
-        bands_ds.groupby("band_key")
-        .map_groups(_pairs_of_group, batch_format="pyarrow")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(Count(alias_name="n_bands"))
+    cand = bands_ds.groupby("band_key").map_groups(
+        _pairs_of_group, batch_format="pyarrow"
     )
     cand_parts = [p for p in ray.get(cand.to_arrow_refs()) if p.num_rows]
     if not cand_parts:
         return PAIRS_SCHEMA.empty_table()
-    cand_tbl = pa.concat_tables(cand_parts)
+    # candidate dedup ACROSS bands happens driver-side: the candidate set
+    # is linear in true-duplicate density (that is the point of LSH), so
+    # it is tiny relative to the corpus; at 10^12 docs this one Arrow
+    # group_by would become a second distributed groupby over the pair
+    # stream — same semantics, one more exchange.
+    cand_tbl = (
+        pa.concat_tables(cand_parts)
+        .group_by(["doc_id_a", "doc_id_b"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["doc_id_a", "doc_id_b", "n_bands"])
+    )
 
     want = sorted(
         set(cand_tbl.column("doc_id_a").to_pylist())
