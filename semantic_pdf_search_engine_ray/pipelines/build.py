@@ -7,26 +7,28 @@ ingest chain (`/root/reference/src/bin/app/handlers/upload.rs:78-87`
       -> dedup by url keep max warc_ts + deterministic doc_id (sorted rank)
       -> write docs store (checkpointed)
       -> map_batches(TokenizePostings)           [vectorized]
-      -> sort(term, doc_id)                      [THE shuffle]
-      -> map_batches(EncodeBlocks)               [delta+varint blocks]
+      -> THE shuffle (default "hash_partition"): term-hash bucket spill
+         (hot terms salted by doc range) -> per-bucket local sort+encode
       -> write postings + dictionary + atomic manifest
 
 Every stage directory is checkpointed with lineage + metrics
 (state/manifest.py); re-running build() on a half-finished index resumes
-at the first incomplete stage.
+at the first incomplete stage — including between the partition spill
+and the encode (mid-shuffle resume, tests/test_hash_partition.py).
 
 Scale notes (10^12-doc design):
-- doc_id = rank of url under the global (url, warc_ts) sort. The sort is
-  the determinism anchor (SURVEY.md §7); ``doc_id_mode="hash"`` is the
-  documented escape hatch that trades rank-density for a sort-free build.
+- doc_id = rank of url under the global (url, warc_ts) sort — the
+  determinism anchor (SURVEY.md §7): identical ids at any parallelism.
 - the dedup + rank assignment needs only one sort: block metadata (first/
   last url per block) is collected driver-side (tiny: one row per block)
   and offsets broadcast back into a second map over the SAME materialized
   blocks.
 - postings carry ``dl`` so no doc-length broadcast is needed at encode.
-- hot terms (sampled df) get a salt column; in sort mode the range
-  partitioner splits them anyway, in groupby mode the salt bounds group
-  size (north-rule skew handling).
+- hot terms (sampled df) are salted by contiguous doc range so one
+  Zipf head term spreads over ``salt_buckets`` partitions and its
+  sub-lists concatenate back in doc order (north-rule skew handling);
+  ``num_partitions`` scales with corpus so each encode task's bucket
+  fits in one worker heap.
 """
 
 from __future__ import annotations
