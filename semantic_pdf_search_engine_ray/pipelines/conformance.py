@@ -376,6 +376,38 @@ def q_events_window(sf_dir: str) -> pa.Table:
                         ("event_type", "ascending")])
 
 
+def q_events_sliding(sf_dir: str) -> pa.Table:
+    """Sliding windows (1 h size, 30 min step): each event fans out to 2
+    windows map-side; one hash aggregate."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["ts", "event_type", "value"])
+    out = _collect(win.sliding_agg(events, size_s=3600, step_s=1800))
+    out = _round_col(out, "sum_value")
+    return out.sort_by([("window_start", "ascending"),
+                        ("event_type", "ascending")])
+
+
+def _top3_group(group: pa.Table) -> pa.Table:
+    order = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+    top = order.slice(0, 3)
+    return top.append_column(
+        "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+    )
+
+
+def q_top_docs_per_source(sf_dir: str) -> pa.Table:
+    """Per-group top-k (A1 generalized to grouped ranking): the 3 largest
+    docs of each source, ties broken by doc_id."""
+    ds = rd.read_parquet(documents_path(sf_dir),
+                         columns=["doc_id", "source", "n_chars"])
+    out = _collect(
+        ds.groupby("source").map_groups(_top3_group, batch_format="pyarrow")
+    )
+    return out.select(["source", "rank", "doc_id", "n_chars"]).sort_by(
+        [("source", "ascending"), ("rank", "ascending")]
+    )
+
+
 def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
     return (
         read_docs(sf_dir)
@@ -645,6 +677,30 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_SQL_EVENTS_SLIDING = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 1000000 AS e, event_type, value FROM events
+),
+w AS (
+  SELECT unnest(list_transform(generate_series(0, 1),
+                i -> (e - e % 1800) - i * 1800)) AS window_start,
+         event_type, value
+  FROM ev
+)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM w GROUP BY window_start, event_type
+"""
+
+_SQL_TOP_DOCS_PER_SOURCE = """
+SELECT source, rank, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
 _SQL_MULTIMODAL = """
 SELECT doc_id,
        strlen(text)::BIGINT AS n_bytes,
@@ -678,6 +734,8 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute,
     "ann_ivf_topk": q_ann_ivf,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
+    "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -698,6 +756,8 @@ ORACLE_SQL = {
     "dedup_embedding": _SQL_EMB_DUP,
     "ann_brute_topk": _SQL_ANN_BRUTE,
     "events_window": _SQL_EVENTS_WINDOW,
+    "events_sliding": _SQL_EVENTS_SLIDING,
+    "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, dedup_simhash, ann_ivf_topk

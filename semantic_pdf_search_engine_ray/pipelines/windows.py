@@ -40,6 +40,56 @@ def assign_tumbling(unit: str):
     return assign
 
 
+def assign_sliding(size_s: int, step_s: int):
+    """map_batches fn: one input row -> one row per overlapping sliding
+    window (``window_start`` int64 epoch seconds). ceil(size/step) windows
+    cover each event; fully vectorized repeat+mask."""
+    if size_s % step_s != 0:
+        raise ValueError("size must be a multiple of step")
+    k = size_s // step_s
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), 1_000_000
+        ).to_numpy(zero_copy_only=False)
+        base = epoch - epoch % step_s
+        n = len(epoch)
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * step_s, n)
+        starts = base[idx] - offs
+        keep = starts + size_s > epoch[idx]  # window covers the event
+        out = batch.take(pa.array(idx[keep]))
+        return out.append_column(
+            "window_start", pa.array(starts[keep], type=pa.int64())
+        )
+
+    return assign
+
+
+def sliding_agg(
+    events: rd.Dataset,
+    size_s: int = 3600,
+    step_s: int = 1800,
+    key: str = "event_type",
+) -> rd.Dataset:
+    """Sliding-window aggregate: count/sum of ``value`` per
+    (window_start, key) for windows of ``size_s`` advancing by
+    ``step_s``. The window fan-out (xk rows) happens map-side and the
+    exchange stays one hash aggregate — no per-window jobs."""
+    return (
+        events.map_batches(assign_sliding(size_s, step_s),
+                           batch_format="pyarrow")
+        .select_columns(["window_start", key, "value"])
+        .groupby(["window_start", key])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+
 def tumbling_agg(
     events: rd.Dataset, unit: str = "hour", key: str = "event_type"
 ) -> rd.Dataset:

@@ -147,7 +147,17 @@ class IndexReader:
         cand = np.flatnonzero(scores)
         if cand.size == 0:
             return []
-        order = np.lexsort((cand, -scores[cand]))
+        svals = scores[cand]
+        if cand.size > max(4096, k):
+            # exact top-k preselect: keep every candidate scoring >= the
+            # k-th largest value (ties included, so the doc_id tie-break
+            # below stays exact), then sort only that set — O(n) select
+            # instead of an O(n log n) lexsort over ~corpus-size heads
+            kth = np.partition(svals, cand.size - k)[cand.size - k]
+            keep = svals >= kth
+            cand = cand[keep]
+            svals = svals[keep]
+        order = np.lexsort((cand, -svals))
         top = cand[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
 

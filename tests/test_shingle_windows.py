@@ -100,6 +100,34 @@ def test_tumbling_agg_matches_pandas(ray_session):
     assert np.allclose(m["sum_value"], r["sum_value"])
 
 
+def test_sliding_agg_covers_each_event_k_times(ray_session):
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.windows import sliding_agg
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    events = rd.read_parquet(path, columns=["ts", "event_type", "value"])
+    got = sliding_agg(events, size_s=3600, step_s=1800).to_pandas()
+
+    import pandas as pd
+
+    df = pd.read_parquet(path, columns=["ts", "event_type", "value"])
+    n_events = len(df)
+    # size/step = 2 -> every event contributes to exactly 2 windows
+    assert got["n_events"].sum() == 2 * n_events
+    # every window_start is step-aligned
+    assert (got["window_start"] % 1800 == 0).all()
+    # spot-check one (window, key) cell against pandas
+    row = got.iloc[0]
+    e = df["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    mask = (
+        (df["event_type"] == row["event_type"])
+        & (e >= row["window_start"])
+        & (e < row["window_start"] + 3600)
+    )
+    assert mask.sum() == row["n_events"]
+
+
 def test_conjunctive_equals_filtered_exhaustive(ray_session):
     """AND-semantics: conjunctive top-k == exhaustive top-k restricted to
     docs containing every term, with identical scores."""
