@@ -61,6 +61,7 @@ def _register_pickle_by_value() -> None:
         "pipelines.similarity",
         "pipelines.textstats",
         "pipelines.windows",
+        "pipelines.sharding",
         "pipelines.conformance",
     ):
         try:

@@ -280,8 +280,15 @@ def build_index_from_docs(
     *,
     input_lineage: dict | None = None,
     shuffle_mode: str = "hash_partition",
+    avgdl_override: float | None = None,
 ) -> dict:
     """Build an index from a docs dataset with (doc_id, text [, url, ...]).
+
+    ``avgdl_override``: score-normalization avgdl to bake into the
+    posting blocks' max_tfn metadata and the manifest, instead of this
+    corpus's own mean doc length. Used by sharded builds: every shard
+    must encode with the GLOBAL avgdl or its block-max WAND bounds would
+    under-estimate true tfn values (tfn grows with avgdl).
 
     shuffle_mode:
     - "hash_partition" (default, the scale path): postings spill into
@@ -331,7 +338,11 @@ def build_index_from_docs(
         )
         n_docs = int(stats["n_docs"])
         total_tokens = int(stats["total_tokens"] or 0)
-    avgdl = total_tokens / n_docs if n_docs else 0.0
+    avgdl = (
+        avgdl_override
+        if avgdl_override is not None
+        else (total_tokens / n_docs if n_docs else 0.0)
+    )
 
     # -- stage: postings (tokenize -> shuffle -> encode) ---------------------
     post_ck = mf.StageCheckpoint(

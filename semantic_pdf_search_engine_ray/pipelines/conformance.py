@@ -279,6 +279,36 @@ def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def q_bm25_sharded(sf_dir: str) -> pa.Table:
+    """BM25 top-k through the doc-range-sharded layout (4 shards, global
+    stats baked into each shard's block metadata; driver-side k-way
+    merge). Same SQL oracle as bm25_topk — the sharded engine must be
+    value-identical to the monolithic one."""
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedQueryActor,
+        build_sharded_index,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = f"/tmp/spse_ray_sharded_{key}"
+    if not mf.is_ready(root):
+        build_sharded_index(
+            read_docs(sf_dir), root, n_shards=4,
+            input_lineage={"sf_dir": os.path.abspath(sf_dir)},
+        )
+    queries = derive_query_table(ensure_index(sf_dir))
+    res_ds = rd.from_arrow(queries).map_batches(
+        ShardedQueryActor,
+        fn_constructor_args=(root, TOP_K),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    res = _round_col(_collect(res_ds), "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def q_chunks(sf_dir: str) -> rd.Dataset:
     """Production chunker (C1-semantics; rows-only)."""
 
@@ -723,6 +753,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_lang_filtered": q_bm25_lang_filtered,
+    "bm25_sharded": q_bm25_sharded,
     "chunks": q_chunks,
     "normalize": q_normalize,
     "highlights": q_highlights,
@@ -750,6 +781,7 @@ ORACLE_SQL = {
     "bm25_topk": _SQL_BM25_TOPK,
     "bm25_conjunctive": _SQL_BM25_CONJ,
     "bm25_lang_filtered": _SQL_BM25_LANG,
+    "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs

@@ -1,0 +1,205 @@
+"""Doc-range-sharded index: the 10^12-document layout, materialized.
+
+stages/query.py documents the scale story — "shard this actor by doc_id
+range; per-query top-k merged driver-side". This module builds that
+layout and proves it: N sub-indexes over contiguous doc_id ranges, one
+root manifest carrying the GLOBAL BM25 statistics (N, avgdl, per-term
+global df), shard readers that score with the global weights, and a
+driver-side k-way merge. Because every per-doc score is the same pinned
+float expression (global w x local tfn, term-at-a-time in sorted order),
+the sharded engine is bit-identical to the single-index engine — pytest
+asserts it, and the driver's SQL oracle for bm25_topk validates it
+end-to-end.
+
+Scale notes:
+- shard assignment is a map-side column (`doc_id * S // n_docs`) + one
+  partitioned parquet write — no extra shuffle beyond the docs write the
+  single-index build already does.
+- the root dictionary (term -> global df) is the sum of shard
+  dictionaries: tiny (vocab-sized), aggregated driver-side here; at
+  10^12 docs it is one more small distributed groupby.
+- each shard build is an independent, resumable build_index_from_docs
+  (its own manifest + stage checkpoints) — shard builds can run
+  anywhere, in any order, and a failed shard re-runs alone.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from semantic_pdf_search_engine_ray.config import EngineConfig
+from semantic_pdf_search_engine_ray.pipelines.build import (
+    build_index_from_docs,
+)
+from semantic_pdf_search_engine_ray.state import manifest as mf
+
+
+def build_sharded_index(
+    docs_ds: rd.Dataset,
+    root_dir: str,
+    n_shards: int,
+    cfg: EngineConfig | None = None,
+    *,
+    input_lineage: dict | None = None,
+) -> dict:
+    """Partition docs by doc_id range into ``n_shards`` sub-indexes and
+    commit a root manifest with global stats + global dictionary."""
+    cfg = cfg or EngineConfig()
+    os.makedirs(root_dir, exist_ok=True)
+
+    # -- shard assignment + doc_len + partitioned docs write (one pass) ----
+    docs_dir = os.path.join(root_dir, "docs_by_shard")
+    ck = mf.StageCheckpoint(
+        root_dir, "docs_by_shard",
+        {"input": input_lineage or {}, "n_shards": n_shards},
+    )
+    if not ck.is_complete():
+        from semantic_pdf_search_engine_ray.stages.postings import AddDocLen
+
+        out = ck.fresh_dir()
+        n_docs = docs_ds.count()
+        add_dl = AddDocLen()
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            batch = add_dl(batch)
+            ids = batch.column("doc_id").to_numpy()
+            shard = np.minimum(ids * n_shards // max(n_docs, 1), n_shards - 1)
+            return batch.append_column(
+                "shard", pa.array(shard.astype(np.int64))
+            )
+
+        docs_ds.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+            out, partition_cols=["shard"]
+        )
+        ck.commit()
+
+    # -- GLOBAL stats first: every shard must encode its block-max
+    #    metadata against the global avgdl (WAND bound validity) ----------
+    dl_tbl = pq.read_table(docs_dir, columns=["doc_len"])
+    n_docs_g = dl_tbl.num_rows
+    total_tokens_g = int(
+        np.sum(dl_tbl.column("doc_len").to_numpy(zero_copy_only=False))
+    ) if n_docs_g else 0
+    avgdl_g = total_tokens_g / n_docs_g if n_docs_g else 0.0
+
+    # -- per-shard builds (independent, resumable) -------------------------
+    shard_dirs = []
+    for s in range(n_shards):
+        src = os.path.join(docs_dir, f"shard={s}")
+        idx = os.path.join(root_dir, f"shard_{s:05d}")
+        shard_dirs.append(idx)
+        if not mf.is_ready(idx):
+            sub = rd.read_parquet(src)
+            cols = [c for c in sub.columns() if c != "shard"]
+            build_index_from_docs(
+                sub.select_columns(cols), idx, cfg,
+                input_lineage={"root": root_dir, "shard": s},
+                avgdl_override=avgdl_g,
+            )
+
+    # -- global dictionary --------------------------------------------------
+    df_g: dict[str, int] = {}
+    for idx in shard_dirs:
+        d = pq.read_table(os.path.join(idx, "dictionary"),
+                          columns=["term", "df"])
+        for t, c in zip(d.column("term").to_pylist(),
+                        d.column("df").to_pylist()):
+            df_g[t] = df_g.get(t, 0) + int(c)
+    dict_tbl = pa.table(
+        {"term": pa.array(sorted(df_g), type=pa.string()),
+         "df": pa.array([df_g[t] for t in sorted(df_g)], type=pa.int64())}
+    )
+    os.makedirs(os.path.join(root_dir, "dictionary"), exist_ok=True)
+    pq.write_table(
+        dict_tbl, os.path.join(root_dir, "dictionary", "dictionary.parquet")
+    )
+
+    payload = {
+        "layout": "doc_range_sharded",
+        "n_shards": n_shards,
+        "shards": [os.path.basename(d) for d in shard_dirs],
+        "params": cfg.manifest_params(),
+        "n_docs": n_docs_g,
+        "total_tokens": total_tokens_g,
+        "avgdl": avgdl_g,
+    }
+    mf.commit_manifest(root_dir, payload)
+    return payload
+
+
+class ShardedReader:
+    """Query tier over a sharded index: per-shard IndexReaders scoring
+    with the GLOBAL (N, avgdl, df) so per-doc scores are bit-identical to
+    a single monolithic index; shard top-ks merge by (score DESC,
+    doc_id ASC). In production each reader is one actor on the node
+    owning its shard; here they live in-process."""
+
+    def __init__(self, root_dir: str):
+        from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+        m = mf.load_manifest(root_dir)
+        if m.get("layout") != "doc_range_sharded":
+            raise ValueError(f"{root_dir} is not a sharded index")
+        d = pq.read_table(os.path.join(root_dir, "dictionary"))
+        df_g = dict(zip(d.column("term").to_pylist(),
+                        d.column("df").to_numpy()))
+        self.readers = []
+        for name in m["shards"]:
+            r = IndexReader(os.path.join(root_dir, name))
+            # override local stats with the global ones: weights and tfn
+            # become shard-location-independent
+            r.df = df_g
+            r.n_docs = int(m["n_docs"])
+            r.avgdl = float(m["avgdl"])
+            r._tfn_cache.clear()
+            self.readers.append(r)
+        self.n_docs = int(m["n_docs"])
+
+    def top_k(self, query: str, k: int) -> list[tuple[int, float]]:
+        heap: list[tuple[float, int]] = []
+        for r in self.readers:
+            for doc_id, score in r.top_k_auto(query, k):
+                item = (score, -doc_id)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = [(-nd, s) for s, nd in heap]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+
+class ShardedQueryActor:
+    """Actor-pool stage over a sharded index (same batch contract as
+    stages.query.QueryActor). In a multi-node deployment each actor would
+    own a subset of shards co-located with it; locally each actor holds
+    all shard readers."""
+
+    def __init__(self, root_dir: str, k: int = 5):
+        self.reader = ShardedReader(root_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, qtext in zip(batch.column("query_id").to_pylist(),
+                              batch.column("query").to_pylist()):
+            for rank, (doc_id, score) in enumerate(
+                self.reader.top_k(qtext, self.k), start=1
+            ):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc_id)
+                scores.append(score)
+        return pa.table(
+            {"query_id": pa.array(qids, type=pa.int64()),
+             "rank": pa.array(ranks, type=pa.int64()),
+             "doc_id": pa.array(docs, type=pa.int64()),
+             "score": pa.array(scores, type=pa.float64())}
+        )

@@ -35,9 +35,12 @@ def tokenize_doc_lens(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 class AddDocLen:
-    """map_batches callable: append a ``doc_len`` int64 column."""
+    """map_batches callable: append a ``doc_len`` int64 column (no-op if
+    the input already carries one — e.g. sharded builds pre-compute it)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "doc_len" in batch.column_names:
+            return batch
         dl = tokenize_doc_lens(batch.column("text"))
         return batch.append_column("doc_len", pa.array(dl, type=pa.int64()))
 

@@ -1,0 +1,75 @@
+"""Doc-range-sharded layout: bit-identical to the monolithic index."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def both_indexes(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        build_sharded_index,
+    )
+
+    base = tmp_path_factory.mktemp("shards")
+
+    def docs():
+        return rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    mono = str(base / "mono")
+    build_index_from_docs(docs(), mono, input_lineage={"t": "mono"})
+    root = str(base / "sharded")
+    m = build_sharded_index(docs(), root, n_shards=4,
+                            input_lineage={"t": "sharded"})
+    return mono, root, m
+
+
+def test_sharded_global_stats_match_mono(both_indexes):
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    mono, root, m = both_indexes
+    mm = mf.load_manifest(mono)
+    assert m["n_docs"] == mm["n_docs"]
+    assert m["avgdl"] == mm["avgdl"]
+    assert m["total_tokens"] == mm["total_tokens"]
+
+
+def test_sharded_topk_bit_identical_to_mono(both_indexes):
+    from semantic_pdf_search_engine_ray.pipelines.sharding import ShardedReader
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    mono, root, _ = both_indexes
+    single = IndexReader(mono)
+    sharded = ShardedReader(root)
+    queries = sorted(single.df, key=lambda t: (-single.df[t], t))[:8]
+    queries += [f"{queries[0]} {queries[3]}", f"{queries[1]} {queries[2]}",
+                "zzznotaterm", ""]
+    for q in queries:
+        a = single.top_k_auto(q, 5)
+        b = sharded.top_k(q, 5)
+        assert a == b, f"shard merge mismatch on {q!r}: {a} vs {b}"
+
+
+def test_shard_count_and_ranges(both_indexes):
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, root, m = both_indexes
+    assert m["n_shards"] == 4
+    seen = set()
+    for name in m["shards"]:
+        tbl = pq.read_table(os.path.join(root, name, "docs"),
+                            columns=["doc_id"])
+        ids = set(tbl.column("doc_id").to_pylist())
+        assert not (ids & seen), "shards must partition the doc space"
+        seen |= ids
+    assert len(seen) == m["n_docs"]
