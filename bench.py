@@ -101,6 +101,12 @@ def run_bench() -> dict:
     stages["build_pages_index"] = round(dt, 3)
     extras["build_docs_per_sec"] = round(n_docs / dt, 1)
     extras["build_n_docs"] = n_docs
+    fixture = _bench_pages_fixture()
+    in_bytes = sum(
+        os.path.getsize(os.path.join(fixture, f))
+        for f in os.listdir(fixture) if f.endswith(".parquet")
+    )
+    extras["build_input_mb_per_sec"] = round(in_bytes / dt / 1e6, 2)
 
     # -- documents-table index build (sf input) ----------------------------
     key_dir = "/tmp/spse_bench_index_docs"
