@@ -61,13 +61,23 @@ from semantic_pdf_search_engine_ray.state import manifest as mf
 # --------------------------------------------------------------------------
 
 def _block_meta(batch: pa.Table) -> pa.Table:
-    """Per sorted block: boundary urls + distinct-url count."""
+    """Per sorted block: boundary (url, warc_ts) rows + distinct-url count.
+
+    The boundary includes warc_ts because (url, warc_ts) pairs are unique
+    (input contract) while urls alone are not: a url duplicated across
+    more whole blocks than one would make url-only block keys collide and
+    silently mis-assign ranks."""
     urls = batch.column("url").to_numpy(zero_copy_only=False)
+    ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
     n_distinct = int((urls[1:] != urls[:-1]).sum()) + 1 if len(urls) else 0
     return pa.table(
         {
             "first_url": [urls[0] if len(urls) else ""],
+            "first_ts": pa.array([int(ts[0]) if len(ts) else 0],
+                                 type=pa.int64()),
             "last_url": [urls[-1] if len(urls) else ""],
+            "last_ts": pa.array([int(ts[-1]) if len(ts) else 0],
+                                type=pa.int64()),
             "n_rows": [len(urls)],
             "n_distinct": [n_distinct],
         }
@@ -88,7 +98,8 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
         _block_meta, batch_format="pyarrow", batch_size=None
     ).take_all()
     meta = [m for m in meta if m["n_rows"] > 0]
-    meta.sort(key=lambda m: (m["first_url"], m["last_url"]))
+    # (first_url, first_ts) is a unique row -> unambiguous total order
+    meta.sort(key=lambda m: (m["first_url"], m["first_ts"]))
 
     # kept-in-block counts: subtract 1 when the block's last url continues
     # into the next block (that url is kept in its final block only)
@@ -98,7 +109,7 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
         continued = (
             i + 1 < len(meta) and meta[i + 1]["first_url"] == m["last_url"]
         )
-        key = (m["first_url"], m["last_url"], m["n_rows"], m["n_distinct"])
+        key = (m["first_url"], m["first_ts"], m["last_url"], m["last_ts"])
         offsets[key] = (running, continued)
         running += m["n_distinct"] - (1 if continued else 0)
 
@@ -106,12 +117,8 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
         if batch.num_rows == 0:
             return batch.append_column("doc_id", pa.array([], type=pa.int64()))
         urls = batch.column("url").to_numpy(zero_copy_only=False)
-        key = (
-            urls[0],
-            urls[-1],
-            len(urls),
-            int((urls[1:] != urls[:-1]).sum()) + 1,
-        )
+        ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
+        key = (urls[0], int(ts[0]), urls[-1], int(ts[-1]))
         offset, continued = offsets[key]
         # keep the LAST row of each url run (max warc_ts after the sort)
         is_last_of_url = np.concatenate((urls[1:] != urls[:-1], [True]))

@@ -99,6 +99,43 @@ def test_hash_partition_mid_shuffle_resume(
     assert _decoded_postings(idx) == want
 
 
+def test_assign_doc_ids_url_run_spanning_many_blocks(ray_session):
+    """A url duplicated across MORE whole blocks than one must still get
+    exactly one kept row (max warc_ts) and collision-free ranks —
+    regression for the block-meta key that once used urls only."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import assign_doc_ids
+
+    base = dt.datetime(2026, 1, 1)
+    urls, tss, texts = [], [], []
+    for i in range(150):  # one url, 150 copies with distinct ts
+        urls.append("https://dup.test/x")
+        tss.append(base + dt.timedelta(seconds=i))
+        texts.append(f"copy {i}")
+    for i in range(50):
+        urls.append(f"https://site{i:03d}.test/page")
+        tss.append(base)
+        texts.append(f"unique {i}")
+    tbl = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 200),
+    })
+    ds = rd.from_arrow(tbl).repartition(10)
+    out = assign_doc_ids(ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 51
+    assert list(out["doc_id"]) == list(range(51))
+    kept_dup = out[out["url"] == "https://dup.test/x"]
+    assert len(kept_dup) == 1
+    assert kept_dup.iloc[0]["text"] == "copy 149"  # max warc_ts wins
+    assert list(out["url"]) == sorted(out["url"])  # rank == sorted url
+
+
 def test_hot_terms_spread_across_partitions(
     ray_session, docs_ds_factory, tmp_path_factory
 ):
