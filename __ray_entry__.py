@@ -17,8 +17,16 @@ The driver initialises Ray BEFORE importing this module; nothing here
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Make the package importable regardless of how the driver loads this
+# module (spec-from-file, different CWD, ...)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry() -> Any:
