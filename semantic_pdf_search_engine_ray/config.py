@@ -50,8 +50,14 @@ class EngineConfig:
     # ---- extraction ----
     remove_headers: bool = False    # M3 section-header removal (off for web text)
 
+    # Bump when the on-disk index layout changes: it flows into every
+    # stage-lineage fingerprint, so stale cached indexes rebuild instead
+    # of being silently reused across code versions.
+    INDEX_FORMAT_VERSION = 2
+
     def manifest_params(self) -> dict:
         return {
+            "format": self.INDEX_FORMAT_VERSION,
             "k1": self.k1,
             "b": self.b,
             "block_size": self.block_size,

@@ -187,6 +187,10 @@ def q_winnow(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
+    return ts.unigram_logprob(read_docs(sf_dir))
+
+
 def q_term_df(sf_dir: str) -> pa.Table:
     index_dir = ensure_index(sf_dir)
     d = pq.read_table(os.path.join(index_dir, "dictionary"),
@@ -647,6 +651,24 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_UNIGRAM_LL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS total FROM toks),
+per AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(ln(cf.cf * 1.0 / tot.total)) AS ll
+  FROM toks t JOIN cf ON cf.term = t.term CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(p.ll, 0.0), 6) AS loglik
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
 _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies
@@ -748,6 +770,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow,
+    "unigram_logprob": q_unigram_logprob,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -776,6 +799,7 @@ ORACLE_SQL = {
     "quality": _SQL_QUALITY,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
+    "unigram_logprob": _SQL_UNIGRAM_LL,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

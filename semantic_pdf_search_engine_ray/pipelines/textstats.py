@@ -191,6 +191,67 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 # dataset-level entry points
 # --------------------------------------------------------------------------
 
+def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc unigram LM score: sum over tokens of ln(cf(t)/total) —
+    the corpus-fit quality signal (low = off-distribution/garbage).
+
+    Two-pass, Ray-first: pass 1 computes the corpus unigram table with a
+    partial-aggregating groupby (collection frequencies), broadcast once
+    via ray.put; pass 2 scores each doc against it vectorized. OOV tokens
+    are impossible by construction (the model IS this corpus).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_tokens(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column("text"))
+        cleaned = pc.replace_substring_regex(lower, "[^a-z0-9]+", " ")
+        lists = pc.split_pattern(cleaned, " ")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"term": flat,
+                         "n": pa.array(np.ones(len(flat), np.int64))})
+
+    cf_parts = [
+        p
+        for p in ray.get(
+            docs.map_batches(to_tokens, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n", alias_name="cf"))
+            .to_arrow_refs()
+        )
+        if p.num_rows  # groupby can emit schema-less empty blocks
+    ]
+    cf_tbl = pa.concat_tables(cf_parts) if cf_parts else pa.table(
+        {"term": pa.array([], type=pa.string()),
+         "cf": pa.array([], type=pa.int64())}
+    )
+    cf = dict(zip(cf_tbl.column("term").to_pylist(),
+                  cf_tbl.column("cf").to_numpy()))
+    total = int(sum(cf.values()))
+    model_ref = ray.put((cf, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        model, tot = ray.get(model_ref)
+        ids, lls, ns = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = tokenize(text)
+            ll = 0.0
+            for t in toks:
+                ll += np.log(model[t] / tot)
+            ids.append(doc_id)
+            lls.append(round(float(ll), 6))
+            ns.append(len(toks))
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_tokens": pa.array(ns, type=pa.int64()),
+             "loglik": pa.array(lls, type=pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(doc_stats_batch, batch_format="pyarrow")
 

@@ -68,23 +68,40 @@ class IndexReader:
             zip(d_tbl.column("term").to_pylist(), d_tbl.column("df").to_numpy())
         )
 
-        # posting blocks: term -> list of decoded-lazily block tuples,
-        # ordered by first_doc (salted / boundary-split runs merge here)
-        b_tbl = pq.read_table(os.path.join(index_dir, "postings"))
-        terms = b_tbl.column("term").to_pylist()
+        # posting blocks: term -> [(first_doc, max_tfn, row_idx)] ordered
+        # by first_doc (salted / boundary-split runs merge here). The
+        # binary blobs stay in the Arrow table (zero-copy mmap-able) and
+        # are materialized lazily per block — actor startup cost is the
+        # metadata columns, not the posting payload.
+        b_tbl = pq.read_table(
+            os.path.join(index_dir, "postings")
+        ).combine_chunks()
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(b_tbl.column("term")).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
         first = b_tbl.column("first_doc").to_numpy()
         maxtfn = b_tbl.column("max_tfn").to_numpy()
-        docs_bufs = b_tbl.column("docs").to_pylist()
-        tfs_bufs = b_tbl.column("tfs").to_pylist()
-        self.blocks: dict[str, list[tuple[int, float, bytes, bytes]]] = {}
-        for t, fd, mt, db, tb in zip(terms, first, maxtfn, docs_bufs, tfs_bufs):
-            self.blocks.setdefault(t, []).append((int(fd), float(mt), db, tb))
-        for lst in self.blocks.values():
-            lst.sort(key=lambda x: x[0])
+        self._docs_col = b_tbl.column("docs").combine_chunks()
+        self._tfs_col = b_tbl.column("tfs").combine_chunks()
+        order = np.lexsort((first, codes))
+        sorted_codes = codes[order]
+        bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+        # term -> (first_docs, max_tfns, row_indices), each sorted by
+        # first_doc — numpy slices, no per-row Python objects
+        self.blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for grp in np.split(order, bounds):
+            self.blocks[vocab[codes[grp[0]]]] = (first[grp], maxtfn[grp], grp)
+
         # decoded-postings cache: the index is immutable, head terms recur
         # across queries — decode each term's list at most once per actor
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._tfn_cache: dict[str, np.ndarray] = {}
+
+    def _block_bufs(self, row: int) -> tuple[bytes, bytes]:
+        """Materialize one block's (docs, tfs) blobs from the Arrow table."""
+        return self._docs_col[row].as_py(), self._tfs_col[row].as_py()
 
     def _term_tfn(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, tfn) for a term — tfn is a pure function of the
@@ -112,12 +129,13 @@ class IndexReader:
         if hit is not None:
             return hit
         blocks = self.blocks.get(term)
-        if not blocks:
+        if blocks is None:
             out = (np.empty(0, np.int64), np.empty(0, np.int64))
         else:
+            bufs = [self._block_bufs(int(r)) for r in blocks[2]]
             out = (
-                np.concatenate([decode_doc_ids(b[2]) for b in blocks]),
-                np.concatenate([decode_tfs(b[3]) for b in blocks]),
+                np.concatenate([decode_doc_ids(db) for db, _ in bufs]),
+                np.concatenate([decode_tfs(tb) for _, tb in bufs]),
             )
         self._postings_cache[term] = out
         return out
@@ -234,13 +252,15 @@ class IndexReader:
             return []
         cursors = []  # per term, in sorted-term order
         for t in terms:
-            blocks = self.blocks[t]
+            firsts, maxes, rows = self.blocks[t]
             w = self._weight(t)
             cursors.append(
                 {
                     "w": w,
-                    "ub": w * max(b[1] for b in blocks),  # term upper bound
-                    "blocks": blocks,
+                    "ub": w * float(maxes.max()),  # term upper bound
+                    "firsts": firsts,
+                    "rows": rows,
+                    "n": len(rows),
                     "bi": 0,          # current block index
                     "ids": None,      # decoded current block
                     "tfn": None,
@@ -250,7 +270,7 @@ class IndexReader:
 
         def ensure_decoded(c):
             if c["ids"] is None:
-                _fd, _mt, db, tb = c["blocks"][c["bi"]]
+                db, tb = self._block_bufs(int(c["rows"][c["bi"]]))
                 ids = decode_doc_ids(db)
                 tfs = decode_tfs(tb)
                 c["ids"] = ids
@@ -260,7 +280,7 @@ class IndexReader:
                 c["pi"] = 0
 
         def current_doc(c):
-            if c["bi"] >= len(c["blocks"]):
+            if c["bi"] >= c["n"]:
                 return None
             ensure_decoded(c)
             return int(c["ids"][c["pi"]])
@@ -268,12 +288,11 @@ class IndexReader:
         def advance_to(c, target):
             """Move cursor to first doc >= target, skipping undecoded
             blocks via their (first_doc) metadata."""
-            while c["bi"] < len(c["blocks"]):
-                blocks = c["blocks"]
+            while c["bi"] < c["n"]:
                 if c["ids"] is None:
                     while (
-                        c["bi"] + 1 < len(blocks)
-                        and blocks[c["bi"] + 1][0] <= target
+                        c["bi"] + 1 < c["n"]
+                        and c["firsts"][c["bi"] + 1] <= target
                     ):
                         c["bi"] += 1
                     ensure_decoded(c)
