@@ -7,11 +7,13 @@ Prints ONE JSON line:
 
 Modes:
     python bench.py             one timed pass at $RAY_GRAFT_CPUS (def. 32)
-    python bench.py --scaling   same build job in FRESH processes at 8 and
-                                32 CPUs (the sandbox stand-in for N vs 4N
-                                nodes); reports both throughputs + the
-                                north-rule efficiency T8/(4*T32)
-    python bench.py --child-build N   (internal) one build at N cpus
+    python bench.py --scaling   same build job in FRESH processes at N and
+                                4N CPUs (default 4 and 16, see
+                                BENCH_SCALING_CPUS; the sandbox stand-in
+                                for N vs 4N nodes); reports both
+                                throughputs + efficiency T_N/(4*T_4N)
+    python bench.py --child-build     (internal) one timed build at
+                                $RAY_GRAFT_CPUS cpus
 
 This file OWNS its Ray session (ray.init/shutdown); library code never
 initialises Ray.
@@ -54,19 +56,39 @@ def _init_ray(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _generator_fingerprint() -> str:
+    """Identity of the fixture-producing code: a stale cached fixture is
+    regenerated whenever the generator or the pinned extractor changes."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel in ("semantic_pdf_search_engine_ray/sources/pages.py",
+                "semantic_pdf_search_engine_ray/stages/extract.py",
+                "semantic_pdf_search_engine_ray/functions/textnorm.py"):
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def _bench_pages_fixture() -> str:
     """Deterministic html pages fixture for the build benchmark, cached
     across runs (generation is not part of the measured build)."""
     out = f"/tmp/spse_bench_pages_{BENCH_PAGES_DOCS}"
     marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
+    fp = _generator_fingerprint()
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read().strip()
+    if have != fp:
         from semantic_pdf_search_engine_ray.sources.pages import (
             generate_pages_parquet_ray,
         )
 
         shutil.rmtree(out, ignore_errors=True)
         generate_pages_parquet_ray(out, n_docs=BENCH_PAGES_DOCS)
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(fp)
     return out
 
 
@@ -95,9 +117,10 @@ def run_bench() -> dict:
 
     stages: dict[str, float] = {}
     extras: dict[str, float] = {}
+    pages_idx = "/tmp/spse_bench_index_pages"
 
     # -- headline: html pages -> committed index ---------------------------
-    dt, n_docs = timed_build_pages("/tmp/spse_bench_index_pages")
+    dt, n_docs = timed_build_pages(pages_idx)
     stages["build_pages_index"] = round(dt, 3)
     extras["build_docs_per_sec"] = round(n_docs / dt, 1)
     extras["build_n_docs"] = n_docs
@@ -121,7 +144,11 @@ def run_bench() -> dict:
     stages["build_docs_index"] = round(time.monotonic() - t0, 3)
 
     # -- batch BM25 query throughput + latency -----------------------------
-    pages_idx = "/tmp/spse_bench_index_pages"
+    import dataclasses
+
+    qcfg = dataclasses.replace(
+        cf.CFG, query_concurrency=max(4, NUM_CPUS // 4)
+    )
     qtbl = cf.derive_query_table(pages_idx)
     reps = max(1, QUERY_EXECUTIONS // max(qtbl.num_rows, 1))
     big = pa.concat_tables([
@@ -133,10 +160,10 @@ def run_bench() -> dict:
         })
         for r in range(reps)
     ])
-    n_blocks = max(NUM_CPUS, big.num_rows // cf.CFG.query_batch_size)
+    n_blocks = max(NUM_CPUS, big.num_rows // qcfg.query_batch_size)
     t0 = time.monotonic()
     queries_ds = rd.from_arrow(big).repartition(n_blocks)
-    res = run_queries(pages_idx, queries_ds, cf.CFG, k=5)
+    res = run_queries(pages_idx, queries_ds, qcfg, k=5)
     n_rows = res.count()
     dt = time.monotonic() - t0
     stages["bm25_batch_queries"] = round(dt, 3)
@@ -151,14 +178,15 @@ def run_bench() -> dict:
     lats = []
     for q in qs:  # cache warmup pass (not measured)
         reader.top_k_auto(q, 5)
-    for _ in range(max(1, 256 // len(qs))):
+    for _ in range(max(1, 256 // max(len(qs), 1))):
         for q in qs:
             t1 = time.perf_counter()
             reader.top_k_auto(q, 5)
             lats.append((time.perf_counter() - t1) * 1000)
     lats.sort()
-    extras["query_p50_ms"] = round(lats[len(lats) // 2], 3)
-    extras["query_p95_ms"] = round(lats[int(len(lats) * 0.95)], 3)
+    if lats:
+        extras["query_p50_ms"] = round(lats[len(lats) // 2], 3)
+        extras["query_p95_ms"] = round(lats[int(len(lats) * 0.95)], 3)
 
     # -- operator sweep over the sf tables ---------------------------------
     for name in ("dedup_minhash_lsh", "dedup_exact", "ann_brute_topk",
@@ -209,8 +237,13 @@ def run_scaling() -> dict:
                 [sys.executable, os.path.abspath(__file__), "--child-build"],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            runs.append(json.loads(line))
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling child at {cpus} cpus failed "
+                    f"(rc={p.returncode}):\n{p.stderr[-4000:]}"
+                )
+            runs.append(json.loads(lines[-1]))
         out[str(cpus)] = min(runs, key=lambda r: r["sec"])
     t_lo = out[str(lo)]["docs_per_sec"]
     t_hi = out[str(hi)]["docs_per_sec"]

@@ -83,13 +83,22 @@ def read_docs(sf_dir: str) -> rd.Dataset:
 # index build (cached per sf_dir; StageCheckpoint makes re-calls no-ops)
 # --------------------------------------------------------------------------
 
+def _sf_cache_key(sf_dir: str) -> str:
+    """Content-aware cache key: path + documents.parquet (size, mtime) +
+    index format version — changed data or layout at the same path never
+    silently reuses a stale cached index."""
+    st = os.stat(documents_path(sf_dir))
+    blob = (f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+            f"|fmt{CFG.INDEX_FORMAT_VERSION}")
+    return hashlib.md5(blob.encode()).hexdigest()[:12]
+
+
 def ensure_index(sf_dir: str) -> str:
     """Build (or resume) the documents-table index for ``sf_dir`` under
     /tmp; repeat calls hit the committed manifest and return instantly.
     The docs store carries ``lang`` so filtered search can resolve
     doc-subset predicates without touching the source table."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    index_dir = f"/tmp/spse_ray_index_v2_{key}"
+    index_dir = f"/tmp/spse_ray_index_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(index_dir):
         docs = rd.read_parquet(
             documents_path(sf_dir), columns=["doc_id", "text", "lang"]
@@ -293,8 +302,7 @@ def q_bm25_sharded(sf_dir: str) -> pa.Table:
         build_sharded_index,
     )
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    root = f"/tmp/spse_ray_sharded_{key}"
+    root = f"/tmp/spse_ray_sharded_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(root):
         build_sharded_index(
             read_docs(sf_dir), root, n_shards=4,
