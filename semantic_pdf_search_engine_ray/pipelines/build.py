@@ -141,21 +141,18 @@ def detect_hot_terms(docs_dir: str, cfg: EngineConfig) -> set[str]:
     Driver-side by design — the sample is bounded (cfg.hot_term_sample)
     regardless of corpus size, and the Arrow kernels (lower/split/group)
     keep it a few ms, so no Ray job is spent on it."""
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads
+
+    from semantic_pdf_search_engine_ray.stages.postings import (
+        flat_token_pairs,
+    )
 
     tbl = pads.dataset(docs_dir).head(cfg.hot_term_sample, columns=["text"])
     n = tbl.num_rows
     if n == 0:
         return set()
-    cleaned = pc.replace_substring_regex(
-        pc.utf8_lower(tbl.column("text")), "[^a-z0-9]+", " "
-    )
-    lists = pc.split_pattern(cleaned, " ")
-    flat = pc.list_flatten(lists)
-    parents = pc.list_parent_indices(lists)
-    mask = pc.not_equal(flat, "")
-    pairs = pa.table({"i": parents.filter(mask), "term": flat.filter(mask)})
+    parents, flat = flat_token_pairs(tbl.column("text"))
+    pairs = pa.table({"i": parents, "term": flat})
     uniq = pairs.group_by(["i", "term"]).aggregate([])
     df = uniq.group_by("term").aggregate([("i", "count")])
     return {
@@ -206,7 +203,11 @@ def _target_blocks() -> int:
 # --------------------------------------------------------------------------
 
 def make_term_partitioner(
-    n_partitions: int, hot_terms: set[str], n_docs: int, salt_buckets: int
+    n_partitions: int,
+    hot_terms: set[str],
+    doc_span: int,
+    salt_buckets: int,
+    doc_min: int = 0,
 ):
     """map_batches fn adding ``part = crc32(term) % P`` (int64).
 
@@ -235,8 +236,9 @@ def make_term_partitioner(
             is_hot = np.asarray([t in hot for t in dic], dtype=bool)[idx]
             if is_hot.any():
                 doc_ids = batch.column("doc_id").to_numpy()
+                # doc_min offset: sharded sub-builds carry GLOBAL ids
                 salt = np.minimum(
-                    (doc_ids * salt_buckets) // max(n_docs, 1),
+                    ((doc_ids - doc_min) * salt_buckets) // max(doc_span, 1),
                     salt_buckets - 1,
                 )
                 part = np.where(
@@ -258,14 +260,24 @@ class EncodePartition:
         self.encoder = EncodeBlocks(k1, b, avgdl, block_size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # one task per core is the unit of parallelism here; Arrow's own
+        # thread pools would oversubscribe (32 tasks x 32 threads).
+        # Scoped save/restore — Ray reuses worker processes for later
+        # stages that do want threaded Arrow.
+        old_cpu, old_io = pa.cpu_count(), pa.io_thread_count()
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        try:
+            return self._encode(batch)
+        finally:
+            pa.set_cpu_count(old_cpu)
+            pa.set_io_thread_count(old_io)
+
+    def _encode(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         from semantic_pdf_search_engine_ray.stages.encode import BLOCKS_SCHEMA
 
-        # one task per core is the unit of parallelism here; Arrow's own
-        # thread pools would oversubscribe (32 tasks x 32 threads)
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(2)
         outs = []
         for d in batch.column("part_dir").to_pylist():
             tbl = pq.read_table(d, columns=["term", "doc_id", "tf", "dl"])
@@ -334,17 +346,30 @@ def build_index_from_docs(
     if _parquet_dir_rows(docs_dir) <= DRIVER_AGG_MAX_ROWS:
         import pyarrow.parquet as _pq
 
-        dl = _pq.read_table(docs_dir, columns=["doc_len"]).column("doc_len")
-        n_docs = len(dl)
-        total_tokens = int(np.sum(dl.to_numpy(zero_copy_only=False))) if n_docs else 0
+        st = _pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
+        n_docs = st.num_rows
+        total_tokens = (
+            int(np.sum(st.column("doc_len").to_numpy(zero_copy_only=False)))
+            if n_docs else 0
+        )
+        ids_np = st.column("doc_id").to_numpy()
+        doc_min = int(ids_np.min()) if n_docs else 0
+        doc_max = int(ids_np.max()) if n_docs else 0
     else:
+        from ray.data.aggregate import Max as _Max, Min as _Min
+
         stats = (
-            rd.read_parquet(docs_dir, columns=["doc_len"])
+            rd.read_parquet(docs_dir, columns=["doc_id", "doc_len"])
             .aggregate(Sum("doc_len", alias_name="total_tokens"),
-                       Count(alias_name="n_docs"))
+                       Count(alias_name="n_docs"),
+                       _Min("doc_id", alias_name="doc_min"),
+                       _Max("doc_id", alias_name="doc_max"))
         )
         n_docs = int(stats["n_docs"])
         total_tokens = int(stats["total_tokens"] or 0)
+        doc_min = int(stats["doc_min"] or 0)
+        doc_max = int(stats["doc_max"] or 0)
+    doc_span = doc_max - doc_min + 1 if n_docs else 1
     avgdl = (
         avgdl_override
         if avgdl_override is not None
@@ -355,8 +380,11 @@ def build_index_from_docs(
     post_ck = mf.StageCheckpoint(
         index_dir,
         "postings",
+        # avgdl is in the lineage explicitly: with avgdl_override it is
+        # NOT derivable from (n_docs, total_tokens), and stale blocks
+        # encoded under a different avgdl carry invalid WAND bounds
         {**lineage_base, "stage": "postings", "shuffle_mode": shuffle_mode,
-         "n_docs": n_docs, "total_tokens": total_tokens},
+         "n_docs": n_docs, "total_tokens": total_tokens, "avgdl": avgdl},
     )
     hot_terms: set[str] = set()
     if not post_ck.is_complete():
@@ -383,7 +411,8 @@ def build_index_from_docs(
                 parts_out = parts_ck.fresh_dir()
                 postings.map_batches(
                     make_term_partitioner(
-                        cfg.num_partitions, hot_terms, n_docs, cfg.salt_buckets
+                        cfg.num_partitions, hot_terms, doc_span,
+                        cfg.salt_buckets, doc_min=doc_min,
                     ),
                     batch_format="pyarrow",
                 ).write_parquet(parts_out, partition_cols=["part"])
@@ -415,7 +444,8 @@ def build_index_from_docs(
         elif shuffle_mode == "groupby_salt":
             hot_terms = detect_hot_terms(docs_dir, cfg)
             salted = postings.map_batches(
-                make_salter(hot_terms, n_docs, cfg.salt_buckets),
+                make_salter(hot_terms, doc_span, cfg.salt_buckets,
+                            doc_min=doc_min),
                 batch_format="pyarrow",
             )
             blocks = salted.groupby(["term", "salt"]).map_groups(

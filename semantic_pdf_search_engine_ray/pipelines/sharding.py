@@ -90,17 +90,33 @@ def build_sharded_index(
     avgdl_g = total_tokens_g / n_docs_g if n_docs_g else 0.0
 
     # -- per-shard builds (independent, resumable) -------------------------
+    # A shard is skipped only if its committed manifest's build_id matches
+    # the lineage we'd build with NOW (docs spill fingerprint + global
+    # avgdl + params) — a committed-but-stale shard rebuilds, like every
+    # other StageCheckpoint in the engine.
     shard_dirs = []
     for s in range(n_shards):
         src = os.path.join(docs_dir, f"shard={s}")
         idx = os.path.join(root_dir, f"shard_{s:05d}")
         shard_dirs.append(idx)
-        if not mf.is_ready(idx):
+        lineage = {"root": root_dir, "shard": s, "docs_fp": ck.fp,
+                   "avgdl_g": avgdl_g}
+        expected_id = mf.fingerprint(
+            {"input": lineage, "params": cfg.manifest_params()}
+        )
+        current = None
+        if mf.is_ready(idx):
+            current = mf.load_manifest(idx).get("build_id")
+        if current != expected_id:
+            if os.path.isdir(idx):
+                import shutil
+
+                shutil.rmtree(idx)
             sub = rd.read_parquet(src)
             cols = [c for c in sub.columns() if c != "shard"]
             build_index_from_docs(
                 sub.select_columns(cols), idx, cfg,
-                input_lineage={"root": root_dir, "shard": s},
+                input_lineage=lineage,
                 avgdl_override=avgdl_g,
             )
 
@@ -187,19 +203,8 @@ class ShardedQueryActor:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, ranks, docs, scores = [], [], [], []
-        for qid, qtext in zip(batch.column("query_id").to_pylist(),
-                              batch.column("query").to_pylist()):
-            for rank, (doc_id, score) in enumerate(
-                self.reader.top_k(qtext, self.k), start=1
-            ):
-                qids.append(qid)
-                ranks.append(rank)
-                docs.append(doc_id)
-                scores.append(score)
-        return pa.table(
-            {"query_id": pa.array(qids, type=pa.int64()),
-             "rank": pa.array(ranks, type=pa.int64()),
-             "doc_id": pa.array(docs, type=pa.int64()),
-             "score": pa.array(scores, type=pa.float64())}
+        from semantic_pdf_search_engine_ray.stages.query import (
+            score_query_batch,
         )
+
+        return score_query_batch(batch, self.reader.top_k, self.k)

@@ -125,13 +125,21 @@ class EncodeBlocks:
         )
 
 
-def make_salter(hot_terms: set[str], n_docs: int, salt_buckets: int):
+def make_salter(
+    hot_terms: set[str],
+    doc_span: int,
+    salt_buckets: int,
+    doc_min: int = 0,
+):
     """Returns a map_batches fn adding a ``salt`` int32 column.
 
-    Salt is doc_id-range based (``salt = doc_id * S // n_docs``) for hot
-    terms, 0 otherwise — contiguous ranges, so per-salt sub-lists stay
-    doc_id-sorted and concatenate in salt order into the full sorted
-    posting list (SURVEY.md §4 skew row; FIXTURES.md invariant 3).
+    Salt is doc_id-range based (``salt = (doc_id - doc_min) * S //
+    doc_span``) for hot terms, 0 otherwise — contiguous ranges, so
+    per-salt sub-lists stay doc_id-sorted and concatenate in salt order
+    into the full sorted posting list (SURVEY.md §4 skew row; FIXTURES.md
+    invariant 3). ``doc_min`` matters for sharded sub-builds whose global
+    doc_ids do not start at 0 (without the offset every row clamps to the
+    last bucket and the hot term lands in one partition again).
     """
     hot = hot_terms
 
@@ -142,7 +150,8 @@ def make_salter(hot_terms: set[str], n_docs: int, salt_buckets: int):
         salt = np.where(
             is_hot,
             np.minimum(
-                (doc_ids * salt_buckets) // max(n_docs, 1), salt_buckets - 1
+                ((doc_ids - doc_min) * salt_buckets) // max(doc_span, 1),
+                salt_buckets - 1,
             ),
             0,
         ).astype(np.int32)

@@ -20,8 +20,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def tokenize_doc_lens(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized doc_len (analyzer token count) for a text column."""
+def flat_token_pairs(
+    texts: pa.ChunkedArray | pa.Array,
+) -> tuple[pa.Array, pa.Array]:
+    """THE analyzer, Arrow-vectorized: text column -> (row_index, term)
+    flat pairs. Single shared implementation — tokenization is a pinned
+    index-format invariant, so every consumer (postings, doc lengths,
+    hot-term sampling) must route through this one kernel."""
     cleaned = pc.replace_substring_regex(
         pc.utf8_lower(texts), "[^a-z0-9]+", " "
     )
@@ -29,9 +34,15 @@ def tokenize_doc_lens(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     flat = pc.list_flatten(lists)
     parents = pc.list_parent_indices(lists)
     nonempty = pc.not_equal(flat, "")
-    n = len(texts)
-    par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
-    return np.bincount(par, minlength=n).astype(np.int64)
+    return parents.filter(nonempty), flat.filter(nonempty)
+
+
+def tokenize_doc_lens(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized doc_len (analyzer token count) for a text column."""
+    parents, _flat = flat_token_pairs(texts)
+    return np.bincount(
+        parents.to_numpy(zero_copy_only=False), minlength=len(texts)
+    ).astype(np.int64)
 
 
 class AddDocLen:
@@ -51,15 +62,7 @@ class TokenizePostings:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
-        cleaned = pc.replace_substring_regex(
-            pc.utf8_lower(texts), "[^a-z0-9]+", " "
-        )
-        lists = pc.split_pattern(cleaned, " ")
-        flat = pc.list_flatten(lists)
-        parents = pc.list_parent_indices(lists)
-        nonempty = pc.not_equal(flat, "")
-        flat = flat.filter(nonempty)
-        parents = parents.filter(nonempty)
+        parents, flat = flat_token_pairs(texts)
 
         pairs = pa.table({"i": parents, "term": flat})
         tf_tbl = pairs.group_by(["i", "term"]).aggregate([([], "count_all")])
@@ -69,8 +72,14 @@ class TokenizePostings:
         if "doc_len" in batch.column_names:
             dl_all = batch.column("doc_len")
         else:
+            # doc_len falls out of the parents we already computed — no
+            # second pass over the strings
             dl_all = pa.array(
-                tokenize_doc_lens(texts), type=pa.int64()
+                np.bincount(
+                    parents.to_numpy(zero_copy_only=False),
+                    minlength=len(texts),
+                ).astype(np.int64),
+                type=pa.int64(),
             )
         dls = pc.take(dl_all, idx)
 

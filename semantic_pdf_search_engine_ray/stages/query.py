@@ -85,14 +85,17 @@ class IndexReader:
         maxtfn = b_tbl.column("max_tfn").to_numpy()
         self._docs_col = b_tbl.column("docs").combine_chunks()
         self._tfs_col = b_tbl.column("tfs").combine_chunks()
-        order = np.lexsort((first, codes))
-        sorted_codes = codes[order]
-        bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
         # term -> (first_docs, max_tfns, row_indices), each sorted by
         # first_doc — numpy slices, no per-row Python objects
         self.blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for grp in np.split(order, bounds):
-            self.blocks[vocab[codes[grp[0]]]] = (first[grp], maxtfn[grp], grp)
+        if b_tbl.num_rows:  # an all-token-less corpus has no postings
+            order = np.lexsort((first, codes))
+            sorted_codes = codes[order]
+            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+            for grp in np.split(order, bounds):
+                self.blocks[vocab[codes[grp[0]]]] = (
+                    first[grp], maxtfn[grp], grp,
+                )
 
         # decoded-postings cache: the index is immutable, head terms recur
         # across queries — decode each term's list at most once per actor
@@ -247,7 +250,14 @@ class IndexReader:
         identical (doc_id, score) top-k as exhaustive scoring (same float
         op order), verified by tests.
         """
-        terms = [t for t in query_terms(query) if self._weight(t) > 0.0]
+        # df > 0 AND locally present: under a sharded layout df is the
+        # GLOBAL document frequency, so a term can have df > 0 yet no
+        # posting blocks in this shard — it contributes nothing here
+        terms = [
+            t
+            for t in query_terms(query)
+            if self._weight(t) > 0.0 and t in self.blocks
+        ]
         if not terms:
             return []
         cursors = []  # per term, in sorted-term order
@@ -377,6 +387,11 @@ class QueryActor:
     ):
         self.reader = IndexReader(index_dir)
         self.k = k if k is not None else EngineConfig().top_k
+        if filter_col is not None and method == "conjunctive":
+            raise ValueError(
+                "doc-subset filter + conjunctive scoring are not "
+                "composed yet; use method='auto' with the filter"
+            )
         if filter_col is not None:
             # doc-subset predicate resolved ONCE per actor from the docs
             # store (J2 filename-filter analog, `qdrant.rs:84-93`)
@@ -398,26 +413,30 @@ class QueryActor:
             }[method]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        qids: list[int] = []
-        ranks: list[int] = []
-        docs: list[int] = []
-        scores: list[float] = []
-        for qid, qtext in zip(
-            batch.column("query_id").to_pylist(),
-            batch.column("query").to_pylist(),
-        ):
-            for rank, (doc_id, score) in enumerate(
-                self.score(qtext, self.k), start=1
-            ):
-                qids.append(qid)
-                ranks.append(rank)
-                docs.append(doc_id)
-                scores.append(score)
-        return pa.table(
-            {
-                "query_id": pa.array(qids, type=pa.int64()),
-                "rank": pa.array(ranks, type=pa.int64()),
-                "doc_id": pa.array(docs, type=pa.int64()),
-                "score": pa.array(scores, type=pa.float64()),
-            }
-        )
+        return score_query_batch(batch, self.score, self.k)
+
+
+def score_query_batch(batch: pa.Table, score_fn, k: int) -> pa.Table:
+    """Shared result-row assembly for every query tier (QueryActor,
+    ShardedQueryActor): (query_id, query) rows -> ranked result rows."""
+    qids: list[int] = []
+    ranks: list[int] = []
+    docs: list[int] = []
+    scores: list[float] = []
+    for qid, qtext in zip(
+        batch.column("query_id").to_pylist(),
+        batch.column("query").to_pylist(),
+    ):
+        for rank, (doc_id, score) in enumerate(score_fn(qtext, k), start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(doc_id)
+            scores.append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        }
+    )

@@ -58,6 +58,62 @@ def test_sharded_topk_bit_identical_to_mono(both_indexes):
         assert a == b, f"shard merge mismatch on {q!r}: {a} vs {b}"
 
 
+def test_sharded_wand_rare_term_absent_from_shard(
+    ray_session, tmp_path_factory
+):
+    """A selective term (global df small -> WAND path) present in only
+    ONE shard must not crash readers of the other shards — regression
+    for the KeyError under the global-df override."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+        build_sharded_index,
+    )
+
+    texts = [f"common words filler doc number {i}" for i in range(200)]
+    texts[0] = "zzzunique " + texts[0]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(4)
+    root = str(tmp_path_factory.mktemp("rare") / "root")
+    build_sharded_index(docs, root, n_shards=2, input_lineage={"t": "rare"})
+    reader = ShardedReader(root)
+    hits = reader.top_k("zzzunique", 5)
+    assert hits and hits[0][0] == 0
+
+
+def test_stale_shard_rebuilds_on_lineage_change(ray_session, tmp_path_factory):
+    """Changing the input docs at the same root must rebuild shards, not
+    silently reuse committed-but-stale shard manifests."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+        build_sharded_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("stale") / "root")
+
+    def make(marker: str):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array([f"{marker} doc {i}" for i in range(40)]),
+        }))
+
+    build_sharded_index(make("alpha"), root, n_shards=2,
+                        input_lineage={"v": 1})
+    assert ShardedReader(root).top_k("alpha", 1)
+    build_sharded_index(make("beta"), root, n_shards=2,
+                        input_lineage={"v": 2})
+    r = ShardedReader(root)
+    assert r.top_k("beta", 1), "new corpus must be queryable"
+    assert not r.top_k("alpha", 1), "old corpus must be gone"
+
+
 def test_shard_count_and_ranges(both_indexes):
     import os
 
