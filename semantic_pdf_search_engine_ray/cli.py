@@ -127,7 +127,14 @@ def main(argv: list[str] | None = None) -> int:
                     if not q.strip():
                         self._json([])  # empty query -> [] (search.rs:20-22)
                         return
-                    k = int((qs.get("k") or [default_k])[0])
+                    try:
+                        k = int((qs.get("k") or [default_k])[0])
+                    except ValueError:
+                        self._json({"error": "k must be an integer"}, 400)
+                        return
+                    if not 1 <= k <= 1000:
+                        self._json({"error": "k out of range [1,1000]"}, 400)
+                        return
                     hits = reader.top_k_auto(q, k)
                     self._json([
                         {"rank": r, "doc_id": d, "score": s}

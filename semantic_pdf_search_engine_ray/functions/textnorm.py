@@ -86,7 +86,7 @@ _CONTROL_DELETE = {
 def is_likely_header(line: str) -> bool:
     """Header heuristic — port of chunk.rs:345-380."""
     trimmed = line.strip()
-    if len(trimmed) > 100:
+    if len(trimmed.encode("utf-8")) > 100:  # Rust str::len = BYTES
         return False
     starts_with_number = bool(trimmed) and trimmed[0].isnumeric()
     has_colon = ":" in trimmed

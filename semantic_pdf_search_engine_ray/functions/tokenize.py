@@ -17,9 +17,27 @@ from semantic_pdf_search_engine_ray.config import TOKEN_PATTERN
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
+def simple_lower(text: str) -> str:
+    """SIMPLE Unicode case mapping (one codepoint -> one codepoint), the
+    semantics of Arrow ``utf8_lower`` and DuckDB ``lower()``.
+
+    Python ``str.lower()`` is the FULL mapping ('İ' -> 'i' + combining
+    dot), which would make the query-side analyzer disagree with the
+    Arrow-vectorized build side (and the SQL oracle) on such characters —
+    a split-brain that breaks the shared-analyzer invariant
+    (`/root/reference/src/embed.rs:17-42`). Route through Arrow so there
+    is exactly one mapping."""
+    if text.isascii():  # fast path: identical under every mapping
+        return text.lower()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.utf8_lower(pa.array([text]))[0].as_py()
+
+
 def tokenize(text: str) -> list[str]:
     """All analyzer tokens of `text`, in order."""
-    return _TOKEN_RE.findall(text.lower())
+    return _TOKEN_RE.findall(simple_lower(text))
 
 
 def term_freqs(text: str) -> tuple[Counter, int]:

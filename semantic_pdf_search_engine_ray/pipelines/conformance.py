@@ -158,9 +158,17 @@ def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:
-    parts = [t for t in ray.get(ds.to_arrow_refs())]
-    parts = [p for p in parts if p.num_rows] or parts[:1]
-    return pa.concat_tables(parts) if parts else pa.table({})
+    """Concatenate a Dataset's blocks, dropping Ray's occasional
+    schema-less empty blocks; on an all-empty result return an empty
+    table with the REAL schema (some non-degenerate block carries it)."""
+    parts = list(ray.get(ds.to_arrow_refs()))
+    good = [p for p in parts if p.num_rows]
+    if good:
+        return pa.concat_tables(good)
+    for p in parts:
+        if len(p.schema) > 0:
+            return p
+    return pa.table({})
 
 
 # --------------------------------------------------------------------------

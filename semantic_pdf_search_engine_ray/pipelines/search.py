@@ -140,8 +140,14 @@ def run_queries_with_highlights(
     )
     import ray
 
-    results_tbl = pa.concat_tables(
-        [t for t in ray.get(results) if t.num_rows >= 0]
+    parts = [t for t in ray.get(results) if t.num_rows > 0]
+    results_tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("doc_id", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
     )
     enriched = enrich_results(index_dir, results_tbl, columns=doc_columns)
     with_query = enriched.join(queries, keys="query_id", join_type="inner")
@@ -154,8 +160,15 @@ def run_queries_with_highlights(
         batch_size=cfg.query_batch_size,
         concurrency=cfg.query_concurrency,
     )
-    hl_tbl = pa.concat_tables(
-        [t for t in ray.get(highlights.to_arrow_refs()) if t.num_rows >= 0]
+    hl_parts = [t for t in ray.get(highlights.to_arrow_refs()) if t.num_rows > 0]
+    hl_tbl = (
+        pa.concat_tables(hl_parts)
+        if hl_parts
+        else pa.schema(
+            [("query_id", pa.int64()), ("doc_id", pa.int64()),
+             ("start", pa.int64()), ("end", pa.int64()),
+             ("score", pa.float64()), ("snippet", pa.string())]
+        ).empty_table()
     )
     hl_tbl = (
         hl_tbl.sort_by(

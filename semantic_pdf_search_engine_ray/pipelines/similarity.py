@@ -42,7 +42,10 @@ TOPK_SCHEMA = pa.schema(
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
-    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    """L2-normalize rows; an all-zero vector stays zero (cosine 0 to
+    everything) instead of dividing to NaN and poisoning top-k heaps."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0.0, 1.0, norms)
 
 
 def load_query_matrix(

@@ -169,10 +169,11 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     trimmed text (the SQL-checkable exact fingerprint), plus winnowing
     k-gram fingerprints (Schleimer'03; no SQL analog — count + min)."""
     ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
+    # lowercase via Arrow (simple case mapping, == DuckDB lower())
+    texts = pc.utf8_lower(batch.column("text")).to_pylist()
     md5s, n_win, min_win = [], [], []
     for t in texts:
-        canon = _WS_RE.sub(" ", t.strip(" \t\n\r").lower())
+        canon = _WS_RE.sub(" ", t.strip(" \t\n\r"))
         md5s.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
         prints = winnow_fingerprints(canon)
         n_win.append(len(prints))
@@ -237,11 +238,14 @@ def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
             toks = tokenize(text)
-            ll = 0.0
-            for t in toks:
-                ll += np.log(model[t] / tot)
+            if toks:
+                freqs = np.fromiter((model[t] for t in toks),
+                                    dtype=np.float64, count=len(toks))
+                ll = float(np.log(freqs / tot).sum())
+            else:
+                ll = 0.0
             ids.append(doc_id)
-            lls.append(round(float(ll), 6))
+            lls.append(round(ll, 6))
             ns.append(len(toks))
         return pa.table(
             {"doc_id": pa.array(ids, type=pa.int64()),

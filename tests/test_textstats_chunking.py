@@ -107,6 +107,38 @@ def test_is_valid_chunk_thresholds():
     )
 
 
+def test_analyzer_simple_case_mapping_matches_arrow_and_sql():
+    """tokenize() must agree with Arrow utf8_lower (== DuckDB lower) on
+    full-vs-simple case-mapping characters — the build side, query side
+    and SQL oracle share one analyzer."""
+    import duckdb
+
+    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    from semantic_pdf_search_engine_ray.stages.postings import (
+        flat_token_pairs,
+    )
+
+    hazard = "İstanbul KİT here ŉa STRASSE ß end"
+    py_tokens = tokenize(hazard)
+    _parents, flat = flat_token_pairs(pa.array([hazard]))
+    assert py_tokens == flat.to_pylist()
+    sql = duckdb.sql(
+        "SELECT unnest(regexp_extract_all(lower($1), '[a-z0-9]+'))",
+        params=[hazard],
+    ).fetchall()
+    assert py_tokens == [r[0] for r in sql]
+
+
+def test_header_heuristic_uses_byte_length():
+    from semantic_pdf_search_engine_ray.functions.textnorm import (
+        is_likely_header,
+    )
+
+    # 60 chars but 120 UTF-8 bytes: the reference (Rust byte len) skips it
+    assert not is_likely_header("Г" * 60)
+    assert is_likely_header("INTRODUCTION")
+
+
 def test_looks_like_code():
     assert looks_like_code("function f() { return x => x; }")
     assert not looks_like_code("plain prose without indicators")
