@@ -1,0 +1,71 @@
+"""In-repo oracle-parity gate: a representative subset of the driver's
+queries()-vs-oracle_sql() comparison runs under plain pytest at sf0.001,
+so `python -m pytest -x -q` alone proves SQL conformance (the driver
+re-runs the full set at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("documents", "embeddings", "events")
+
+# Queries covering every engine subsystem that has a SQL oracle:
+# the full BM25 chain (build shuffle + codec + scoring + sharding),
+# dedup, ANN, windows, text analysis, multimodal plumbing.
+SUBSET = [
+    "bm25_topk",
+    "bm25_sharded",
+    "term_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "events_window",
+    "quality",
+    "unigram_logprob",
+    "multimodal_decode",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_sql_oracle(ray_session, name):
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    mine = _canon(_to_df(cf.QUERIES[name](SF)))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    ref = _canon(con.execute(cf.ORACLE_SQL[name]).df())
+
+    assert list(mine.columns) == list(ref.columns), name
+    assert len(mine) == len(ref), name
+    for c in mine.columns:
+        a, b = mine[c], ref[c]
+        eq = (a == b) | (a.isna() & b.isna())
+        assert eq.all(), f"{name}.{c}: {int((~eq).sum())} mismatches"
