@@ -25,11 +25,16 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": "ERROR"}
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        # under `ray job submit` RAY_ADDRESS points at the cluster — only
+        # force a local instance when no cluster is offered
+        if not os.environ.get("RAY_ADDRESS"):
+            kwargs["address"] = "local"
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
