@@ -37,7 +37,7 @@ BENCH_PAGES_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "20000"))
 # The scaling run needs a compute-dominated job (fixed per-job overheads
 # ~8 s would otherwise swamp the 8-vs-32-cpu signal), so it uses a larger
 # corpus than the per-round latency bench.
-BENCH_SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "240000"))
+BENCH_SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "480000"))
 QUERY_EXECUTIONS = int(os.environ.get("BENCH_QUERY_EXECUTIONS", "1024"))
 
 
