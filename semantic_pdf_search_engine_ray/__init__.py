@@ -62,6 +62,8 @@ def _register_pickle_by_value() -> None:
         "pipelines.textstats",
         "pipelines.windows",
         "pipelines.sharding",
+        "pipelines.rerank",
+        "engine",
         "pipelines.conformance",
     ):
         try:

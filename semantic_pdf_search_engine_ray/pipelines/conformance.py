@@ -329,6 +329,21 @@ def q_bm25_sharded(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def q_bm25_prf_rerank(sf_dir: str) -> pa.Table:
+    """Hybrid: BM25 top-20 candidates -> pseudo-relevance embedding
+    re-rank -> RRF fusion top-5 (pipelines/rerank.py)."""
+    from semantic_pdf_search_engine_ray.pipelines.rerank import (
+        bm25_prf_rerank,
+    )
+
+    index_dir = ensure_index(sf_dir)
+    queries = derive_query_table(index_dir)
+    return bm25_prf_rerank(
+        index_dir, embeddings_path(sf_dir), queries,
+        k_candidates=20, k=TOP_K, cfg=CFG,
+    )
+
+
 def q_chunks(sf_dir: str) -> rd.Dataset:
     """Production chunker (C1-semantics; rows-only)."""
 
@@ -581,6 +596,66 @@ SELECT query_id, rank, doc_id, score_r FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+_SQL_BM25_PRF = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+cands AS (
+  SELECT query_id, doc_id, bm25_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS bm25_rank
+    FROM scores
+  ) WHERE bm25_rank <= 20
+),
+with_emb AS (
+  SELECT c.query_id, c.doc_id, c.bm25_rank, e.embedding
+  FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id
+),
+pseudo AS (
+  SELECT w.query_id, w.embedding AS pvec
+  FROM with_emb w
+  WHERE w.bm25_rank = (
+    SELECT min(w2.bm25_rank) FROM with_emb w2 WHERE w2.query_id = w.query_id
+  )
+),
+cosr AS (
+  SELECT w.query_id, w.doc_id, w.bm25_rank,
+         row_number() OVER (
+           PARTITION BY w.query_id
+           ORDER BY list_cosine_similarity(w.embedding::DOUBLE[],
+                                           p.pvec::DOUBLE[]) DESC,
+                    w.doc_id ASC
+         ) AS cos_rank
+  FROM with_emb w JOIN pseudo p ON p.query_id = w.query_id
+)
+SELECT query_id, rank, doc_id, rrf FROM (
+  SELECT query_id, doc_id,
+         1.0 / (60 + bm25_rank) + 1.0 / (60 + cos_rank) AS rrf,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (1.0 / (60 + bm25_rank) + 1.0 / (60 + cos_rank)) DESC,
+                    doc_id ASC
+         )::BIGINT AS rank
+  FROM cosr
+) WHERE rank <= {TOP_K}
+"""
+
 _SQL_TERM_DF = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -793,6 +868,7 @@ QUERIES = {
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_lang_filtered": q_bm25_lang_filtered,
     "bm25_sharded": q_bm25_sharded,
+    "bm25_prf_rerank": q_bm25_prf_rerank,
     "chunks": q_chunks,
     "normalize": q_normalize,
     "highlights": q_highlights,
@@ -822,6 +898,7 @@ ORACLE_SQL = {
     "bm25_conjunctive": _SQL_BM25_CONJ,
     "bm25_lang_filtered": _SQL_BM25_LANG,
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
+    "bm25_prf_rerank": _SQL_BM25_PRF,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs

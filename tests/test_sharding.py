@@ -129,3 +129,29 @@ def test_shard_count_and_ranges(both_indexes):
         assert not (ids & seen), "shards must partition the doc space"
         seen |= ids
     assert len(seen) == m["n_docs"]
+
+
+def test_engine_facade_roundtrip(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.engine import Engine
+
+    idx = str(tmp_path_factory.mktemp("facade") / "idx")
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    eng = Engine.build_from_docs(docs, idx, input_lineage={"t": "facade"})
+    assert eng.manifest["n_docs"] > 0
+    hits = eng.search("table scan", k=3)
+    assert len(hits) == 3
+    import pyarrow as pa
+
+    qt = pa.table({"query_id": pa.array([0], type=pa.int64()),
+                   "query": pa.array(["table scan"])})
+    batch = eng.search_batch(qt, k=3).to_pandas()
+    assert list(batch["doc_id"]) == [d for d, _ in hits]
+    # open() on the committed dir works; a bogus dir raises
+    assert Engine.open(idx).search("table", k=1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Engine.open(str(tmp_path_factory.mktemp("facade") / "nope"))
