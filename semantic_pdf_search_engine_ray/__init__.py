@@ -53,6 +53,7 @@ def _register_pickle_by_value() -> None:
         "stages.encode",
         "stages.query",
         "stages.multimodal",
+        "stages.positions",
         "state.manifest",
         "oracle",
         "pipelines.build",

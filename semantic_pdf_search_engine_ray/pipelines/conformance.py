@@ -344,6 +344,31 @@ def q_bm25_prf_rerank(sf_dir: str) -> pa.Table:
     )
 
 
+def q_phrase_topk(sf_dir: str) -> pa.Table:
+    """Exact phrase retrieval over the positional side-index: the
+    adjacent-pair query set as phrases, ranked by phrase term frequency
+    (integer scores — bit-exact cross-engine comparison)."""
+    from semantic_pdf_search_engine_ray.stages.positions import (
+        PhraseQueryActor,
+        build_positions,
+    )
+
+    pos_dir = f"/tmp/spse_ray_pos_{_sf_cache_key(sf_dir)}"
+    if not mf.is_ready(pos_dir):
+        build_positions(read_docs(sf_dir), pos_dir, CFG,
+                        input_lineage={"sf_dir": os.path.abspath(sf_dir)})
+    queries = pair_query_table(ensure_index(sf_dir))
+    res_ds = rd.from_arrow(queries).map_batches(
+        PhraseQueryActor,
+        fn_constructor_args=(pos_dir, TOP_K),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return _collect(res_ds).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def q_chunks(sf_dir: str) -> rd.Dataset:
     """Production chunker (C1-semantics; rows-only)."""
 
@@ -656,6 +681,37 @@ SELECT query_id, rank, doc_id, rrf FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+_SQL_PHRASE_TOPK = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, u.term AS term, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts)),
+                  i -> {{'term': ts[i], 'p': i}})) AS u
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+          FROM documents)
+  )
+),
+qp AS (
+  SELECT a.r::BIGINT AS query_id, a.term AS t1, b.term AS t2
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+hits AS (
+  SELECT qp.query_id, p1.doc_id, count(*)::BIGINT AS phrase_tf
+  FROM qp
+  JOIN pos p1 ON p1.term = qp.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.p = p1.p + 1
+             AND p2.term = qp.t2
+  GROUP BY qp.query_id, p1.doc_id
+)
+SELECT query_id, rank, doc_id, phrase_tf FROM (
+  SELECT query_id, doc_id, phrase_tf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY phrase_tf DESC, doc_id ASC)::BIGINT AS rank
+  FROM hits
+) WHERE rank <= {TOP_K}
+"""
+
 _SQL_TERM_DF = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -869,6 +925,7 @@ QUERIES = {
     "bm25_lang_filtered": q_bm25_lang_filtered,
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
+    "phrase_topk": q_phrase_topk,
     "chunks": q_chunks,
     "normalize": q_normalize,
     "highlights": q_highlights,
@@ -899,6 +956,7 @@ ORACLE_SQL = {
     "bm25_lang_filtered": _SQL_BM25_LANG,
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "bm25_prf_rerank": _SQL_BM25_PRF,
+    "phrase_topk": _SQL_PHRASE_TOPK,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs

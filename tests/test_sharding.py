@@ -155,3 +155,33 @@ def test_engine_facade_roundtrip(ray_session, tmp_path_factory):
 
     with _pt.raises(ValueError):
         Engine.open(str(tmp_path_factory.mktemp("facade") / "nope"))
+
+
+def test_phrase_index_adjacency(ray_session, tmp_path_factory):
+    """Positional index resolves exact adjacency, not bag-of-words."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.stages.positions import (
+        PositionsReader,
+        build_positions,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "fast cat runs",                 # phrase "fast cat" x1
+            "cat fast cat fast cat",         # "fast cat" x2 (not 3!)
+            "fast dog and a cat elsewhere",  # words present, not adjacent
+        ]),
+    }))
+    out = str(tmp_path_factory.mktemp("pos") / "pos")
+    build_positions(docs, out, input_lineage={"t": "phrase"})
+    r = PositionsReader(out)
+    assert r.phrase_top_k("fast cat", 5) == [(1, 2), (0, 1)]
+    assert r.phrase_top_k("cat fast", 5) == [(1, 2)]
+    assert r.phrase_top_k("dog cat", 5) == []
+    assert r.phrase_top_k("missingterm cat", 5) == []
+    assert r.phrase_top_k("", 5) == []
+    # single-token phrase degenerates to term tf ranking
+    assert r.phrase_top_k("cat", 5) == [(1, 3), (0, 1), (2, 1)]
