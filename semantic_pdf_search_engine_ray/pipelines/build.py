@@ -217,22 +217,19 @@ def make_term_partitioner(
     posting list at read time). Terms are dictionary-encoded per batch so
     the Python crc32 loop touches only unique terms, not rows.
     """
-    import zlib
-
     import pyarrow.compute as pc
+
+    from semantic_pdf_search_engine_ray.stages.postings import term_crc32
 
     hot = hot_terms
 
     def add_part(batch: pa.Table) -> pa.Table:
-        enc = pc.dictionary_encode(batch.column("term")).combine_chunks()
-        dic = enc.dictionary.to_pylist()
-        base = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) for t in dic),
-            dtype=np.int64, count=len(dic),
-        )
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        part = base[idx] % n_partitions
+        base = term_crc32(batch.column("term"))
+        part = base % n_partitions
         if hot:
+            enc = pc.dictionary_encode(batch.column("term")).combine_chunks()
+            dic = enc.dictionary.to_pylist()
+            idx = enc.indices.to_numpy(zero_copy_only=False)
             is_hot = np.asarray([t in hot for t in dic], dtype=bool)[idx]
             if is_hot.any():
                 doc_ids = batch.column("doc_id").to_numpy()
@@ -242,7 +239,7 @@ def make_term_partitioner(
                     salt_buckets - 1,
                 )
                 part = np.where(
-                    is_hot, (base[idx] + 1 + salt) % n_partitions, part
+                    is_hot, (base + 1 + salt) % n_partitions, part
                 )
         return batch.append_column("part", pa.array(part, type=pa.int64()))
 

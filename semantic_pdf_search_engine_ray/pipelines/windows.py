@@ -23,6 +23,14 @@ from ray.data.aggregate import Count, Max, Min, Sum
 _UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
 
 
+def _epoch_seconds(col) -> pa.Array:
+    """Timestamp column (ANY unit: s/ms/us/ns) -> int64 epoch seconds.
+    Flooring to whole seconds first makes the unit cast lossless, so a
+    pandas-born ns column and a parquet us column window identically."""
+    whole = pc.floor_temporal(col, unit="second")
+    return pc.cast(pc.cast(whole, pa.timestamp("s")), pa.int64())
+
+
 def assign_tumbling(unit: str):
     """map_batches fn: add ``window_start`` (int64 epoch seconds)."""
     if unit not in _UNIT_SECONDS:
@@ -30,11 +38,8 @@ def assign_tumbling(unit: str):
 
     def assign(batch: pa.Table) -> pa.Table:
         floored = pc.floor_temporal(batch.column("ts"), unit=unit)
-        epoch_s = pc.divide(
-            pc.cast(floored, pa.int64()), 1_000_000
-        )  # timestamp[us] -> seconds
         return batch.append_column(
-            "window_start", pc.cast(epoch_s, pa.int64())
+            "window_start", _epoch_seconds(floored)
         )
 
     return assign
@@ -51,18 +56,20 @@ def assign_sliding(size_s: int, step_s: int):
     def assign(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        epoch = pc.divide(
-            pc.cast(batch.column("ts"), pa.int64()), 1_000_000
-        ).to_numpy(zero_copy_only=False)
+        epoch = _epoch_seconds(batch.column("ts")).to_numpy(
+            zero_copy_only=False
+        )
         base = epoch - epoch % step_s
         n = len(epoch)
+        # with size a multiple of step, EVERY one of the k trailing
+        # windows covers the event (w <= e < w+size holds for all k),
+        # so the fan-out is unconditional
         idx = np.repeat(np.arange(n), k)
         offs = np.tile(np.arange(k, dtype=np.int64) * step_s, n)
         starts = base[idx] - offs
-        keep = starts + size_s > epoch[idx]  # window covers the event
-        out = batch.take(pa.array(idx[keep]))
+        out = batch.take(pa.array(idx))
         return out.append_column(
-            "window_start", pa.array(starts[keep], type=pa.int64())
+            "window_start", pa.array(starts, type=pa.int64())
         )
 
     return assign

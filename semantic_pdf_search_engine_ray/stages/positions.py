@@ -17,7 +17,6 @@ Positions are 1-based token indices (matches the SQL oracle's
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,9 +29,21 @@ from semantic_pdf_search_engine_ray.functions.codec import (
     decode_doc_ids as decode_sorted_ints,
     encode_doc_ids as encode_sorted_ints,
 )
-from semantic_pdf_search_engine_ray.functions.tokenize import query_terms, tokenize
-from semantic_pdf_search_engine_ray.stages.postings import flat_token_pairs
+from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+from semantic_pdf_search_engine_ray.stages.postings import (
+    flat_token_pairs,
+    group_rows_by_term,
+    term_crc32,
+)
 from semantic_pdf_search_engine_ray.state import manifest as mf
+
+POSITIONS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("positions", pa.binary()),
+    ]
+)
 
 
 class TokenizePositions:
@@ -64,12 +75,7 @@ class TokenizePositions:
             encode_sorted_ints(np.sort(np.asarray(pl, dtype=np.int64)))
             for pl in agg.column("p_list").to_pylist()
         ]
-        term_list = terms_out.to_pylist()
-        parts = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) % self.n_partitions
-             for t in term_list),
-            dtype=np.int64, count=len(term_list),
-        )
+        parts = term_crc32(terms_out) % self.n_partitions
         return pa.table(
             {
                 "term": terms_out,
@@ -94,12 +100,25 @@ def build_positions(
          "stage": "positions"},
     )
     if not ck.is_complete():
+        import pyarrow.parquet as pq
+
         out = ck.fresh_dir()
         docs.map_batches(
             TokenizePositions(cfg.num_partitions),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         ).write_parquet(out, partition_cols=["part"])
+        # committed == readable: a token-less corpus writes no fragments,
+        # so materialize the schema in an explicit empty file
+        has_files = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(out) for f in fs
+        )
+        if not has_files:
+            pq.write_table(
+                POSITIONS_SCHEMA.empty_table(),
+                os.path.join(out, "empty.parquet"),
+            )
         ck.commit()
     payload = {"layout": "positions_v1",
                "params": cfg.manifest_params(),
@@ -123,21 +142,28 @@ class PositionsReader:
             os.path.join(pos_dir, "positions"),
             columns=["term", "doc_id", "positions"],
         ).combine_chunks()
-        enc = pc.dictionary_encode(tbl.column("term")).combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        vocab = enc.dictionary.to_pylist()
         doc_ids = tbl.column("doc_id").to_numpy()
         self._blob_col = tbl.column("positions").combine_chunks()
-        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        if tbl.num_rows:
-            order = np.lexsort((doc_ids, codes))
-            sc = codes[order]
-            bounds = np.flatnonzero(np.diff(sc)) + 1
-            for grp in np.split(order, bounds):
-                self.postings[vocab[codes[grp[0]]]] = (doc_ids[grp], grp)
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {
+            t: (doc_ids[grp], grp)
+            for t, grp in group_rows_by_term(
+                tbl.column("term"), doc_ids
+            ).items()
+        }
+        # term -> list of decoded position arrays (row-aligned with the
+        # term's doc_ids); immutable index, decode each term once
+        self._decoded: dict[str, list[np.ndarray]] = {}
 
-    def _positions(self, term: str, row: int) -> np.ndarray:
-        return decode_sorted_ints(self._blob_col[int(row)].as_py())
+    def _term_positions(self, term: str) -> tuple[np.ndarray, list[np.ndarray]]:
+        ids, rows = self.postings[term]
+        dec = self._decoded.get(term)
+        if dec is None:
+            dec = [
+                decode_sorted_ints(self._blob_col[int(r)].as_py())
+                for r in rows
+            ]
+            self._decoded[term] = dec
+        return ids, dec
 
     def phrase_top_k(self, phrase: str, k: int) -> list[tuple[int, int]]:
         """Top-k (doc_id, phrase_tf) for an exact token-adjacency phrase."""
@@ -146,22 +172,19 @@ class PositionsReader:
             return []
         per_term = []
         for t in toks:
-            hit = self.postings.get(t)
-            if hit is None:
+            if t not in self.postings:
                 return []
-            per_term.append(hit)
+            per_term.append(self._term_positions(t))
         common = per_term[0][0]
-        for ids, _rows in per_term[1:]:
+        for ids, _dec in per_term[1:]:
             common = np.intersect1d(common, ids, assume_unique=False)
         if common.size == 0:
             return []
         results: list[tuple[int, int]] = []
         for doc in common.tolist():
             match = None
-            for offset, (t, (ids, rows)) in enumerate(zip(toks, per_term)):
-                pos = self._positions(
-                    t, rows[np.searchsorted(ids, doc)]
-                ) - offset
+            for offset, (ids, dec) in enumerate(per_term):
+                pos = dec[int(np.searchsorted(ids, doc))] - offset
                 match = pos if match is None else np.intersect1d(match, pos)
                 if match.size == 0:
                     break

@@ -37,6 +37,42 @@ def flat_token_pairs(
     return parents.filter(nonempty), flat.filter(nonempty)
 
 
+def term_crc32(terms: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-row crc32 of a term column, hashed once per UNIQUE term via
+    dictionary encoding — the shared base of the engine's one
+    term-partitioning key family (postings spill, positions spill)."""
+    import zlib
+
+    enc = pc.dictionary_encode(terms).combine_chunks()
+    dic = enc.dictionary.to_pylist()
+    base = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in dic),
+        dtype=np.int64, count=len(dic),
+    )
+    return base[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def group_rows_by_term(
+    terms: pa.ChunkedArray | pa.Array, secondary: np.ndarray
+) -> dict[str, np.ndarray]:
+    """term -> row-index array, rows ordered by ``secondary`` within each
+    term. The shared load-time grouping of both index readers (posting
+    blocks by first_doc, position rows by doc_id) — one implementation of
+    the dictionary-encode + lexsort + split idiom."""
+    out: dict[str, np.ndarray] = {}
+    if len(terms) == 0:
+        return out
+    enc = pc.dictionary_encode(terms).combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary.to_pylist()
+    order = np.lexsort((secondary, codes))
+    sorted_codes = codes[order]
+    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+    for grp in np.split(order, bounds):
+        out[vocab[codes[grp[0]]]] = grp
+    return out
+
+
 def tokenize_doc_lens(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Vectorized doc_len (analyzer token count) for a text column."""
     parents, _flat = flat_token_pairs(texts)

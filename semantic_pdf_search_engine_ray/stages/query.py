@@ -73,29 +73,25 @@ class IndexReader:
         # binary blobs stay in the Arrow table (zero-copy mmap-able) and
         # are materialized lazily per block — actor startup cost is the
         # metadata columns, not the posting payload.
+        from semantic_pdf_search_engine_ray.stages.postings import (
+            group_rows_by_term,
+        )
+
         b_tbl = pq.read_table(
             os.path.join(index_dir, "postings")
         ).combine_chunks()
-        import pyarrow.compute as pc
-
-        enc = pc.dictionary_encode(b_tbl.column("term")).combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        vocab = enc.dictionary.to_pylist()
         first = b_tbl.column("first_doc").to_numpy()
         maxtfn = b_tbl.column("max_tfn").to_numpy()
         self._docs_col = b_tbl.column("docs").combine_chunks()
         self._tfs_col = b_tbl.column("tfs").combine_chunks()
         # term -> (first_docs, max_tfns, row_indices), each sorted by
         # first_doc — numpy slices, no per-row Python objects
-        self.blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        if b_tbl.num_rows:  # an all-token-less corpus has no postings
-            order = np.lexsort((first, codes))
-            sorted_codes = codes[order]
-            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
-            for grp in np.split(order, bounds):
-                self.blocks[vocab[codes[grp[0]]]] = (
-                    first[grp], maxtfn[grp], grp,
-                )
+        self.blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {
+            t: (first[grp], maxtfn[grp], grp)
+            for t, grp in group_rows_by_term(
+                b_tbl.column("term"), first
+            ).items()
+        }
 
         # decoded-postings cache: the index is immutable, head terms recur
         # across queries — decode each term's list at most once per actor
