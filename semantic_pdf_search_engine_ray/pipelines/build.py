@@ -285,6 +285,54 @@ class EncodePartition:
         return pa.concat_tables(outs) if outs else BLOCKS_SCHEMA.empty_table()
 
 
+class EncodePartitionToFile(EncodePartition):
+    """Idempotent per-partition encode task: each partition's block rows
+    land in a DETERMINISTIC file (``part-<N>.parquet``, written
+    tmp+rename). A resumed encode lists finished files and re-runs only
+    the missing partitions — the north rule's mid-shuffle resume at
+    partition (not stage) granularity. Returns one metrics row per
+    partition."""
+
+    def __init__(self, k1, b, avgdl, block_size, out_dir: str):
+        super().__init__(k1, b, avgdl, block_size)
+        self.out_dir = out_dir
+
+    def _encode(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        parts, rows_out, files = [], [], []
+        for d in batch.column("part_dir").to_pylist():
+            part_id = int(os.path.basename(d).split("=", 1)[1])
+            fname = f"part-{part_id:05d}.parquet"
+            final = os.path.join(self.out_dir, fname)
+            tbl = pq.read_table(d, columns=["term", "doc_id", "tf", "dl"])
+            blocks = (
+                self.encoder(
+                    tbl.sort_by([("term", "ascending"),
+                                 ("doc_id", "ascending")])
+                )
+                if tbl.num_rows
+                else None
+            )
+            if blocks is None:
+                from semantic_pdf_search_engine_ray.stages.encode import (
+                    BLOCKS_SCHEMA,
+                )
+
+                blocks = BLOCKS_SCHEMA.empty_table()
+            tmp = final + f".tmp.{os.getpid()}"
+            pq.write_table(blocks, tmp)
+            os.replace(tmp, final)  # atomic; idempotent re-runs converge
+            parts.append(part_id)
+            rows_out.append(blocks.num_rows)
+            files.append(fname)
+        return pa.table(
+            {"part": pa.array(parts, type=pa.int64()),
+             "rows": pa.array(rows_out, type=pa.int64()),
+             "file": pa.array(files, type=pa.string())}
+        )
+
+
 # --------------------------------------------------------------------------
 # build
 # --------------------------------------------------------------------------
@@ -385,7 +433,13 @@ def build_index_from_docs(
     )
     hot_terms: set[str] = set()
     if not post_ck.is_complete():
-        out = post_ck.fresh_dir()
+        # hash mode resumes at partition granularity (idempotent
+        # per-partition files); the other modes rebuild the stage whole
+        out = (
+            post_ck.resume_dir()
+            if shuffle_mode == "hash_partition"
+            else post_ck.fresh_dir()
+        )
         t0 = time.monotonic()
         postings = rd.read_parquet(
             docs_dir, columns=["doc_id", "text", "doc_len"],
@@ -421,19 +475,26 @@ def build_index_from_docs(
                     index_dir, "postings_parts"
                 )
             t_encode0 = time.monotonic()
+            done_parts = {
+                int(f.split("-")[1].split(".")[0])
+                for f in os.listdir(out)
+                if f.startswith("part-") and f.endswith(".parquet")
+            }
             part_dirs = sorted(
                 os.path.join(parts_dir, d)
                 for d in os.listdir(parts_dir)
                 if d.startswith("part=")
+                and int(d.split("=", 1)[1]) not in done_parts
             )
             blocks = rd.from_items(
                 [{"part_dir": d} for d in part_dirs],
                 override_num_blocks=max(len(part_dirs), 1),
             ).map_batches(
-                EncodePartition(cfg.k1, cfg.b, avgdl, cfg.block_size),
+                EncodePartitionToFile(cfg.k1, cfg.b, avgdl, cfg.block_size,
+                                      out),
                 batch_format="pyarrow",
                 batch_size=None,
-            )
+            ) if part_dirs else None
         elif shuffle_mode == "sort":
             blocks = postings.sort(["term", "doc_id"]).map_batches(
                 encoder, batch_format="pyarrow", batch_size=None
@@ -451,17 +512,22 @@ def build_index_from_docs(
             )
         else:
             raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
-        blocks.write_parquet(out)
-        t_end = time.monotonic()
         extra = {
             "shuffle_mode": shuffle_mode,
             "hot_terms": sorted(hot_terms),
-            "encode_wall_ms": round((t_end - t0) * 1000, 1),
         }
         if shuffle_mode == "hash_partition":
+            # tasks already wrote their own part-<N>.parquet files; this
+            # consumes the metrics rows (and drives execution)
+            encoded = blocks.count() if blocks is not None else 0
+            extra["partitions_encoded"] = int(encoded)
+            extra["partitions_resumed"] = len(done_parts)
             extra["phase2_encode_wall_ms"] = round(
-                (t_end - t_encode0) * 1000, 1
+                (time.monotonic() - t_encode0) * 1000, 1
             )
+        else:
+            blocks.write_parquet(out)
+        extra["encode_wall_ms"] = round((time.monotonic() - t0) * 1000, 1)
         stage_metrics["postings"] = post_ck.commit(extra_metrics=extra)
     else:
         stage_metrics["postings"] = mf.load_stage_entry(index_dir, "postings")

@@ -97,6 +97,29 @@ class StageCheckpoint:
         os.makedirs(self.out_dir, exist_ok=True)
         return self.out_dir
 
+    def resume_dir(self) -> str:
+        """Like fresh_dir, but KEEP existing partial output if it belongs
+        to a crashed attempt of the SAME lineage (partition-granular
+        resume: idempotent per-partition writers skip finished work).
+        A `_PARTIAL_<name>.json` marker records the in-progress
+        fingerprint; any mismatch wipes."""
+        partial = os.path.join(
+            os.path.dirname(self.marker), f"_PARTIAL_{self.name}.json"
+        )
+        keep = False
+        if os.path.exists(partial) and os.path.isdir(self.out_dir):
+            try:
+                with open(partial) as f:
+                    keep = json.load(f).get("fingerprint") == self.fp
+            except (OSError, json.JSONDecodeError):
+                keep = False
+        if not keep:
+            self.fresh_dir()
+        atomic_write_json(partial, {"fingerprint": self.fp})
+        self._partial_marker = partial
+        os.makedirs(self.out_dir, exist_ok=True)
+        return self.out_dir
+
     def commit(self, extra_metrics: dict | None = None) -> dict:
         metrics = dir_stats(self.out_dir) if os.path.isdir(self.out_dir) else {}
         entry = {
@@ -110,6 +133,9 @@ class StageCheckpoint:
             },
         }
         atomic_write_json(self.marker, entry)
+        partial = getattr(self, "_partial_marker", None)
+        if partial and os.path.exists(partial):
+            os.remove(partial)
         return entry
 
 

@@ -99,6 +99,61 @@ def test_hash_partition_mid_shuffle_resume(
     assert _decoded_postings(idx) == want
 
 
+def test_partition_level_encode_resume(ray_session, docs_ds_factory,
+                                       tmp_path_factory):
+    """Crash MID-ENCODE (some part-N.parquet written, some not): the
+    re-run must keep the finished partition files untouched (mtime
+    unchanged) and encode only the missing ones — resume at partition,
+    not stage, granularity."""
+    from semantic_pdf_search_engine_ray.config import EngineConfig
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+    )
+
+    base = tmp_path_factory.mktemp("presume")
+    idx = str(base / "idx")
+    cfg = EngineConfig()
+    build_index_from_docs(docs_ds_factory(), idx, cfg,
+                          input_lineage={"t": "presume"})
+    want = _decoded_postings(idx)
+
+    import json as _json
+
+    post_dir = os.path.join(idx, "postings")
+    files = sorted(f for f in os.listdir(post_dir) if f.startswith("part-"))
+    assert len(files) > 4
+    # simulate the crash: stage not committed, half the partitions
+    # missing, the in-progress marker (same fingerprint) still on disk
+    stage_fp = _json.load(
+        open(os.path.join(idx, "_STAGE_postings.json"))
+    )["fingerprint"]
+    with open(os.path.join(idx, "_PARTIAL_postings.json"), "w") as f:
+        _json.dump({"fingerprint": stage_fp}, f)
+    os.remove(os.path.join(idx, "_STAGE_postings.json"))
+    os.remove(os.path.join(idx, "manifest.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "dictionary"), ignore_errors=True)
+    os.remove(os.path.join(idx, "_STAGE_dictionary.json"))
+    kept = files[: len(files) // 2]
+    removed = files[len(files) // 2:]
+    for f in removed:
+        os.remove(os.path.join(post_dir, f))
+    mtimes = {f: os.path.getmtime(os.path.join(post_dir, f)) for f in kept}
+
+    build_index_from_docs(docs_ds_factory(), idx, cfg,
+                          input_lineage={"t": "presume"})
+    entry = _json.load(open(os.path.join(idx, "_STAGE_postings.json")))
+    met = entry["metrics"]
+    assert met["partitions_resumed"] == len(kept), met
+    assert met["partitions_encoded"] == len(removed), met
+    for f in kept:
+        assert os.path.getmtime(os.path.join(post_dir, f)) == mtimes[f], (
+            f"finished partition {f} was rewritten"
+        )
+    assert _decoded_postings(idx) == want
+
+
 def test_assign_doc_ids_url_run_spanning_many_blocks(ray_session):
     """A url duplicated across MORE whole blocks than one must still get
     exactly one kept row (max warc_ts) and collision-free ranks —
