@@ -389,6 +389,59 @@ def q_chunks(sf_dir: str) -> rd.Dataset:
     return read_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow")
 
 
+def q_bm25_chunks(sf_dir: str) -> pa.Table:
+    """Chunk-granularity retrieval — the reference's actual unit
+    (`chunk.rs:22-61` C1: ~500-char chunks are what gets indexed and
+    returned). Documents are chunked, each chunk indexed as its own
+    pseudo-doc (chunk_uid = doc_id * 1000 + chunk_id), BM25 top-k over
+    chunks, hits mapped back to (parent doc, chunk). Rows-only (the
+    chunker is not SQL-expressible); deterministic across runs."""
+    from semantic_pdf_search_engine_ray.functions.chunking import (
+        chunk_document,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+    )
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        uids, texts = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for ci, c in enumerate(chunk_document(text)):
+                uids.append(doc_id * 1000 + ci)
+                texts.append(c)
+        return pa.table(
+            {"doc_id": pa.array(uids, type=pa.int64()),
+             "text": pa.array(texts, type=pa.string())}
+        )
+
+    idx = f"/tmp/spse_ray_chunkidx_{_sf_cache_key(sf_dir)}"
+    if not mf.is_ready(idx):
+        build_index_from_docs(
+            read_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow"),
+            idx,
+            CFG,
+            input_lineage={"sf_dir": os.path.abspath(sf_dir),
+                           "granularity": "chunks"},
+        )
+    queries = derive_query_table(ensure_index(sf_dir))
+    res = _collect(run_queries(idx, rd.from_arrow(queries), CFG, k=TOP_K))
+    uid = res.column("doc_id").to_numpy()
+    res = res.set_column(
+        res.column_names.index("doc_id"), "chunk_uid",
+        pa.array(uid, type=pa.int64()),
+    )
+    res = res.append_column(
+        "parent_doc_id", pa.array(uid // 1000, type=pa.int64())
+    )
+    res = res.append_column(
+        "chunk_id", pa.array(uid % 1000, type=pa.int64())
+    )
+    return _round_col(res, "score").sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def q_normalize(sf_dir: str) -> rd.Dataset:
     """Canonical M1 normalizer over the documents table (rows-only; the
     byte-identity invariant itself is pytest-enforced on the pages
@@ -926,6 +979,7 @@ QUERIES = {
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
     "phrase_topk": q_phrase_topk,
+    "bm25_chunks_topk": q_bm25_chunks,
     "chunks": q_chunks,
     "normalize": q_normalize,
     "highlights": q_highlights,
