@@ -488,6 +488,23 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pa.Table:
                                 threshold=JACCARD_THRESHOLD)
 
 
+def q_dedup_apply(sf_dir: str) -> rd.Dataset:
+    """Cleaned corpus after near-dedup (doc_id + chars kept)."""
+    out = dd.apply_near_dedup(documents_path(sf_dir), n=JACCARD_N,
+                              threshold=JACCARD_THRESHOLD)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "text_chars": pc.utf8_length(batch.column("text")).cast(
+                 pa.int64())}
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
     return dd.simhash_pairs(read_docs(sf_dir), max_hamming=3)
 
@@ -899,6 +916,33 @@ JOIN sizes sb ON sb.doc_id = ib
 WHERE inter * 1.0 / (sa.c + sb.c - inter) >= {JACCARD_THRESHOLD}
 """
 
+_SQL_DEDUP_APPLY = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - {JACCARD_N - 1}),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+removed AS (
+  SELECT DISTINCT ib FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE inter * 1.0 / (sa.c + sb.c - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS text_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT ib FROM removed)
+"""
+
 _SQL_EMB_DUP = f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -986,6 +1030,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_apply": q_dedup_apply,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_topk": q_ann_brute,
@@ -1014,6 +1059,7 @@ ORACLE_SQL = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs
+    "dedup_apply": _SQL_DEDUP_APPLY,
     "dedup_embedding": _SQL_EMB_DUP,
     "ann_brute_topk": _SQL_ANN_BRUTE,
     "events_window": _SQL_EVENTS_WINDOW,

@@ -284,6 +284,33 @@ def minhash_lsh_pairs(
     )
 
 
+def apply_near_dedup(
+    docs_path: str | list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+) -> rd.Dataset:
+    """The training-data payoff of the dedup family: the CLEANED corpus.
+
+    Removal rule: any doc that is the larger member (doc_id_b) of a
+    near-dup pair at exact Jaccard >= t is dropped; the smallest doc of a
+    duplicate chain survives. Pairs come from the LSH scale path; the
+    removal set (tiny) broadcasts into a streaming filter — the corpus
+    itself never shuffles.
+    """
+    pairs = minhash_lsh_pairs(docs_path, n=n, threshold=threshold)
+    remove = set(pairs.column("doc_id_b").to_pylist())
+    remove_ref = ray.put(remove)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rm = ray.get(remove_ref)
+        mask = [d not in rm for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash (banded hamming search)
 # --------------------------------------------------------------------------
