@@ -63,4 +63,7 @@ class EngineConfig:
             "block_size": self.block_size,
             "token_pattern": TOKEN_PATTERN,
             "salt_buckets": self.salt_buckets,
+            # part of the on-disk layout: a resumed encode must never mix
+            # part files from two different partition counts
+            "num_partitions": self.num_partitions,
         }

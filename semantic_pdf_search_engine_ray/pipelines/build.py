@@ -180,6 +180,18 @@ def _parquet_dir_rows(path: str) -> int:
 DRIVER_AGG_MAX_ROWS = 20_000_000
 
 
+def _ensure_nonempty_parquet(path: str, schema: pa.Schema) -> None:
+    """Committed == readable: if a stage wrote no fragments (empty or
+    token-less corpus), materialize the schema in an explicit empty file
+    so downstream pq.read_table never faces a file-less directory."""
+    import pyarrow.parquet as pq
+
+    for _r, _d, names in os.walk(path):
+        if any(n.endswith(".parquet") for n in names):
+            return
+    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
 def _target_blocks() -> int:
     """Block-count target for the wide reads: ~4 blocks per core.
 
@@ -381,6 +393,11 @@ def build_index_from_docs(
         docs_ds.map_batches(
             AddDocLen(), batch_format="pyarrow"
         ).write_parquet(out)
+        _ensure_nonempty_parquet(
+            out,
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                       ("doc_len", pa.int64())]),
+        )
         stage_metrics["docs"] = docs_ck.commit()
     else:
         stage_metrics["docs"] = mf.load_stage_entry(index_dir, "docs")
@@ -388,7 +405,10 @@ def build_index_from_docs(
 
     # -- global stats (footer-gated: driver-side Arrow pass when small,
     #    distributed aggregate when the docs table is big) -------------------
-    if _parquet_dir_rows(docs_dir) <= DRIVER_AGG_MAX_ROWS:
+    docs_rows = _parquet_dir_rows(docs_dir)
+    if docs_rows == 0:
+        n_docs = total_tokens = doc_min = doc_max = 0
+    elif docs_rows <= DRIVER_AGG_MAX_ROWS:
         import pyarrow.parquet as _pq
 
         st = _pq.read_table(docs_dir, columns=["doc_id", "doc_len"])
@@ -527,6 +547,9 @@ def build_index_from_docs(
             )
         else:
             blocks.write_parquet(out)
+        from semantic_pdf_search_engine_ray.stages.encode import BLOCKS_SCHEMA
+
+        _ensure_nonempty_parquet(out, BLOCKS_SCHEMA)
         extra["encode_wall_ms"] = round((time.monotonic() - t0) * 1000, 1)
         stage_metrics["postings"] = post_ck.commit(extra_metrics=extra)
     else:
@@ -539,7 +562,19 @@ def build_index_from_docs(
     if not dict_ck.is_complete():
         out = dict_ck.fresh_dir()
         postings_dir = os.path.join(index_dir, "postings")
-        if _parquet_dir_rows(postings_dir) <= DRIVER_AGG_MAX_ROWS:
+        post_rows = _parquet_dir_rows(postings_dir)
+        if post_rows == 0:
+            # token-less corpus: committed == readable, so materialize
+            # an empty dictionary with the schema
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table({"term": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.int64()),
+                          "n_blocks": pa.array([], type=pa.int64())}),
+                os.path.join(out, "dictionary.parquet"),
+            )
+        elif post_rows <= DRIVER_AGG_MAX_ROWS:
             # block-metadata rows are ~corpus/block_size: driver-side
             # Arrow group_by beats a shuffle job until ~10^10 docs
             import pyarrow.parquet as _pq

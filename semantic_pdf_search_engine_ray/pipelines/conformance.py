@@ -58,6 +58,7 @@ N_HEAD_TERMS = 16
 TOP_K = 5
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.5
+CHUNK_UID_STRIDE = 1000
 EMB_DUP_THRESHOLD = 0.4
 ANN_K = 5
 ANN_QUERIES = 10
@@ -396,19 +397,20 @@ def q_bm25_chunks(sf_dir: str) -> pa.Table:
     pseudo-doc (chunk_uid = doc_id * 1000 + chunk_id), BM25 top-k over
     chunks, hits mapped back to (parent doc, chunk). Rows-only (the
     chunker is not SQL-expressible); deterministic across runs."""
-    from semantic_pdf_search_engine_ray.functions.chunking import (
-        chunk_document,
-    )
-    from semantic_pdf_search_engine_ray.pipelines.build import (
-        build_index_from_docs,
-    )
-
     def chunk_batch(batch: pa.Table) -> pa.Table:
         uids, texts = [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
             for ci, c in enumerate(chunk_document(text)):
-                uids.append(doc_id * 1000 + ci)
+                if ci >= CHUNK_UID_STRIDE:
+                    # uid = doc*stride + chunk must stay collision-free;
+                    # a >stride-chunk doc needs a bigger stride (and at
+                    # real scale a dense chunk numbering + mapping table
+                    # instead of this sparse-uid demo encoding)
+                    raise ValueError(
+                        f"doc {doc_id} has >= {CHUNK_UID_STRIDE} chunks"
+                    )
+                uids.append(doc_id * CHUNK_UID_STRIDE + ci)
                 texts.append(c)
         return pa.table(
             {"doc_id": pa.array(uids, type=pa.int64()),
@@ -432,10 +434,10 @@ def q_bm25_chunks(sf_dir: str) -> pa.Table:
         pa.array(uid, type=pa.int64()),
     )
     res = res.append_column(
-        "parent_doc_id", pa.array(uid // 1000, type=pa.int64())
+        "parent_doc_id", pa.array(uid // CHUNK_UID_STRIDE, type=pa.int64())
     )
     res = res.append_column(
-        "chunk_id", pa.array(uid % 1000, type=pa.int64())
+        "chunk_id", pa.array(uid % CHUNK_UID_STRIDE, type=pa.int64())
     )
     return _round_col(res, "score").sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
@@ -1058,7 +1060,14 @@ ORACLE_SQL = {
     "phrase_topk": _SQL_PHRASE_TOPK,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
-    "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,  # LSH must find the same pairs
+    # LSH-vs-exact pairing caveat: with 128 perms / 32 bands x 4 rows the
+    # probability of MISSING a true pair is (1-J^4)^32 — ~3e-9 at J=0.8,
+    # 5e-15 at J=0.9, but ~13% at exactly J=0.5. The oracle pairing is
+    # sound for corpora whose near-dup pairs sit well above the
+    # threshold (all fixture sf dirs: every true pair has J >= 0.9, next
+    # tier < 0.15); a corpus dense in J~0.5 pairs would need more bands
+    # or a lower LSH operating point than the output threshold.
+    "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,
     "dedup_apply": _SQL_DEDUP_APPLY,
     "dedup_embedding": _SQL_EMB_DUP,
     "ann_brute_topk": _SQL_ANN_BRUTE,

@@ -39,21 +39,24 @@ def atomic_write_json(path: str, payload: dict) -> None:
 
 
 def dir_stats(path: str) -> dict:
-    """rows/bytes metrics for a parquet stage directory (footer-only reads)."""
+    """rows/bytes metrics for a parquet stage directory (footer-only
+    reads; recursive, so hive-partitioned spills report real numbers)."""
     import pyarrow.parquet as pq
 
     rows = 0
     nbytes = 0
     files = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        full = os.path.join(path, name)
-        meta = pq.read_metadata(full)
-        rows += meta.num_rows
-        nbytes += os.path.getsize(full)
-        files.append({"file": name, "rows": meta.num_rows,
-                      "bytes": os.path.getsize(full)})
+    for root, _dirs, names in sorted(os.walk(path)):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            meta = pq.read_metadata(full)
+            size = os.path.getsize(full)
+            rows += meta.num_rows
+            nbytes += size
+            files.append({"file": os.path.relpath(full, path),
+                          "rows": meta.num_rows, "bytes": size})
     return {"rows": rows, "bytes": nbytes, "files": files}
 
 

@@ -227,3 +227,30 @@ def test_hot_terms_spread_across_partitions(
     decoded = _decoded_postings(idx)
     ids = [d for d, _ in decoded[hot[0]]]
     assert ids == sorted(ids)
+
+
+def test_empty_and_tokenless_corpus_builds_valid_index(
+    ray_session, tmp_path_factory
+):
+    """A corpus with zero analyzer tokens (or zero rows) must commit a
+    READABLE empty index, not crash mid-build (committed == readable)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+    )
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    base = tmp_path_factory.mktemp("empty")
+    # token-less: punctuation-only text yields no [a-z0-9] runs
+    tokenless = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["!!! ???", "... ---"]),
+    }))
+    idx = str(base / "tokenless")
+    m = build_index_from_docs(tokenless, idx, input_lineage={"t": "tl"})
+    assert m["n_docs"] == 2 and m["total_tokens"] == 0
+    r = IndexReader(idx)
+    assert r.top_k_auto("anything", 5) == []
+    assert r.top_k_wand("anything", 5) == []
