@@ -121,6 +121,29 @@ def build_sharded_index(
             )
 
     # -- global dictionary --------------------------------------------------
+    _rewrite_global_dictionary(root_dir, shard_dirs)
+
+    payload = {
+        "layout": "doc_range_sharded",
+        "n_shards": n_shards,
+        "shards": [os.path.basename(d) for d in shard_dirs],
+        "params": cfg.manifest_params(),
+        "n_docs": n_docs_g,
+        "total_tokens": total_tokens_g,
+        "avgdl": avgdl_g,
+        # BM25 length normalization is PINNED at root creation: shards
+        # added later (add_documents) encode against this value, so every
+        # shard's block-max WAND bounds stay valid forever. df/N keep
+        # updating with ingest; avgdl is a frozen collection constant —
+        # the trade the reference makes implicitly (its vector space
+        # never renormalizes on upload either).
+        "avgdl_pinned": avgdl_g,
+    }
+    mf.commit_manifest(root_dir, payload)
+    return payload
+
+
+def _rewrite_global_dictionary(root_dir: str, shard_dirs: list[str]) -> dict:
     df_g: dict[str, int] = {}
     for idx in shard_dirs:
         d = pq.read_table(os.path.join(idx, "dictionary"),
@@ -133,18 +156,60 @@ def build_sharded_index(
          "df": pa.array([df_g[t] for t in sorted(df_g)], type=pa.int64())}
     )
     os.makedirs(os.path.join(root_dir, "dictionary"), exist_ok=True)
-    pq.write_table(
-        dict_tbl, os.path.join(root_dir, "dictionary", "dictionary.parquet")
-    )
+    tmp = os.path.join(root_dir, "dictionary", "dictionary.parquet.tmp")
+    pq.write_table(dict_tbl, tmp)
+    os.replace(tmp, os.path.join(root_dir, "dictionary",
+                                 "dictionary.parquet"))
+    return df_g
 
+
+def add_documents(
+    root_dir: str,
+    docs_ds: rd.Dataset,
+    cfg: EngineConfig | None = None,
+    *,
+    input_lineage: dict | None = None,
+) -> dict:
+    """Incremental ingestion — the engine analog of the reference's
+    upload path (`handlers/upload.rs:20-76`: POST /upload grows the
+    collection; readiness flips when indexing commits).
+
+    The new docs become ONE new shard (doc_ids must be disjoint from the
+    existing corpus — caller contract, as with upload filenames). The
+    shard encodes against the root's pinned avgdl, the global dictionary
+    and counts are rewritten, and the root manifest recommits atomically:
+    queries before the commit see the previous snapshot, after it the
+    grown corpus — the durable 'ready' semantics, incremental.
+    """
+    cfg = cfg or EngineConfig()
+    m = mf.load_manifest(root_dir)
+    if m.get("layout") != "doc_range_sharded":
+        raise ValueError(f"{root_dir} is not a sharded index root")
+    avgdl_pin = float(m.get("avgdl_pinned", m["avgdl"]))
+    shard_id = len(m["shards"])
+    idx = os.path.join(root_dir, f"shard_{shard_id:05d}")
+    build_index_from_docs(
+        docs_ds, idx, cfg,
+        input_lineage={"root": root_dir, "shard": shard_id,
+                       **(input_lineage or {})},
+        avgdl_override=avgdl_pin,
+    )
+    sm = mf.load_manifest(idx)
+    shard_dirs = [os.path.join(root_dir, s) for s in m["shards"]] + [idx]
+    _rewrite_global_dictionary(root_dir, shard_dirs)
     payload = {
-        "layout": "doc_range_sharded",
-        "n_shards": n_shards,
+        **{k: m[k] for k in ("layout", "params")},
+        "n_shards": len(shard_dirs),
         "shards": [os.path.basename(d) for d in shard_dirs],
-        "params": cfg.manifest_params(),
-        "n_docs": n_docs_g,
-        "total_tokens": total_tokens_g,
-        "avgdl": avgdl_g,
+        "n_docs": int(m["n_docs"]) + int(sm["n_docs"]),
+        "total_tokens": int(m["total_tokens"]) + int(sm["total_tokens"]),
+        # scoring avgdl stays pinned; true mean recorded for observability
+        "avgdl": avgdl_pin,
+        "avgdl_pinned": avgdl_pin,
+        "true_avgdl": (
+            (int(m["total_tokens"]) + int(sm["total_tokens"]))
+            / max(int(m["n_docs"]) + int(sm["n_docs"]), 1)
+        ),
     }
     mf.commit_manifest(root_dir, payload)
     return payload

@@ -185,3 +185,58 @@ def test_phrase_index_adjacency(ray_session, tmp_path_factory):
     assert r.phrase_top_k("", 5) == []
     # single-token phrase degenerates to term tf ranking
     assert r.phrase_top_k("cat", 5) == [(1, 3), (0, 1), (2, 1)]
+
+
+def test_incremental_add_documents_matches_pinned_monolithic(
+    ray_session, tmp_path_factory
+):
+    """Upload-analog: base corpus -> sharded root; add_documents ingests
+    the rest as a new shard. Scoring must equal a monolithic index over
+    the FULL corpus built with the same pinned avgdl (df/N update with
+    ingest; length normalization is frozen at root creation)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+        add_documents,
+        build_sharded_index,
+    )
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    def subset(lo, hi):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            mask = pa.compute.and_(
+                pa.compute.greater_equal(ids, lo), pa.compute.less(ids, hi)
+            )
+            return batch.filter(mask)
+
+        return rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow")
+
+    base = tmp_path_factory.mktemp("incr")
+    root = str(base / "root")
+    m0 = build_sharded_index(subset(0, 300), root, n_shards=2,
+                             input_lineage={"t": "incr-base"})
+    pin = m0["avgdl_pinned"]
+    m1 = add_documents(root, subset(300, 10_000),
+                       input_lineage={"t": "incr-add"})
+    assert m1["n_docs"] == 500
+    assert m1["avgdl"] == pin and m1["true_avgdl"] != pin
+
+    mono = str(base / "mono")
+    build_index_from_docs(subset(0, 10_000), mono,
+                          input_lineage={"t": "incr-mono"},
+                          avgdl_override=pin)
+    single = IndexReader(mono)
+    grown = ShardedReader(root)
+    queries = sorted(single.df, key=lambda t: (-single.df[t], t))[:6]
+    queries.append(f"{queries[0]} {queries[2]}")
+    for q in queries:
+        assert single.top_k_auto(q, 5) == grown.top_k(q, 5), q
