@@ -12,7 +12,7 @@ sys.path.insert(0, "/root/repo")
 
 import ray
 
-ray.init(address="local", num_cpus=16, include_dashboard=False,
+ray.init(address="local", num_cpus=int(__import__("os").environ.get("SIM_CPUS", "16")), include_dashboard=False,
          ignore_reinit_error=True)
 from ray.data import DataContext
 
