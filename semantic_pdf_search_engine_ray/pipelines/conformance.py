@@ -390,6 +390,42 @@ def q_chunks(sf_dir: str) -> rd.Dataset:
     return read_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow")
 
 
+PROXIMITY_SLOP = 2
+
+
+def q_proximity_topk(sf_dir: str) -> pa.Table:
+    """Sloppy-phrase (proximity) retrieval: the adjacent-pair query set
+    with slop=2 — ordered co-occurrence within 3 token positions."""
+    from semantic_pdf_search_engine_ray.stages.positions import (
+        PositionsReader,
+        build_positions,
+    )
+
+    pos_dir = f"/tmp/spse_ray_pos_{_sf_cache_key(sf_dir)}"
+    if not mf.is_ready(pos_dir):
+        build_positions(read_docs(sf_dir), pos_dir, CFG,
+                        input_lineage={"sf_dir": os.path.abspath(sf_dir)})
+    queries = pair_query_table(ensure_index(sf_dir))
+    reader = PositionsReader(pos_dir)
+    qids, ranks, docs, tfs = [], [], [], []
+    for qid, q in zip(queries.column("query_id").to_pylist(),
+                      queries.column("query").to_pylist()):
+        t1, t2 = q.split()
+        for rank, (doc_id, tf) in enumerate(
+            reader.proximity_top_k(t1, t2, PROXIMITY_SLOP, TOP_K), start=1
+        ):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(doc_id)
+            tfs.append(tf)
+    return pa.table(
+        {"query_id": pa.array(qids, type=pa.int64()),
+         "rank": pa.array(ranks, type=pa.int64()),
+         "doc_id": pa.array(docs, type=pa.int64()),
+         "prox_tf": pa.array(tfs, type=pa.int64())}
+    )
+
+
 def q_bm25_chunks(sf_dir: str) -> pa.Table:
     """Chunk-granularity retrieval — the reference's actual unit
     (`chunk.rs:22-61` C1: ~500-char chunks are what gets indexed and
@@ -784,6 +820,37 @@ SELECT query_id, rank, doc_id, phrase_tf FROM (
 ) WHERE rank <= {TOP_K}
 """
 
+_SQL_PROXIMITY_TOPK = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, u.term AS term, u.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts)),
+                  i -> {{'term': ts[i], 'p': i}})) AS u
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+          FROM documents)
+  )
+),
+qp AS (
+  SELECT a.r::BIGINT AS query_id, a.term AS t1, b.term AS t2
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+hits AS (
+  SELECT qp.query_id, p1.doc_id, count(*)::BIGINT AS prox_tf
+  FROM qp
+  JOIN pos p1 ON p1.term = qp.t1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = qp.t2
+            AND p2.p > p1.p AND p2.p <= p1.p + {PROXIMITY_SLOP + 1}
+  GROUP BY qp.query_id, p1.doc_id
+)
+SELECT query_id, rank, doc_id, prox_tf FROM (
+  SELECT query_id, doc_id, prox_tf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY prox_tf DESC, doc_id ASC)::BIGINT AS rank
+  FROM hits
+) WHERE rank <= {TOP_K}
+"""
+
 _SQL_TERM_DF = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -1025,6 +1092,7 @@ QUERIES = {
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
     "phrase_topk": q_phrase_topk,
+    "proximity_topk": q_proximity_topk,
     "bm25_chunks_topk": q_bm25_chunks,
     "chunks": q_chunks,
     "normalize": q_normalize,
@@ -1058,6 +1126,7 @@ ORACLE_SQL = {
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "bm25_prf_rerank": _SQL_BM25_PRF,
     "phrase_topk": _SQL_PHRASE_TOPK,
+    "proximity_topk": _SQL_PROXIMITY_TOPK,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     # LSH-vs-exact pairing caveat: with 128 perms / 32 bands x 4 rows the

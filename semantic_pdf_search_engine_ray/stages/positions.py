@@ -165,6 +165,31 @@ class PositionsReader:
             self._decoded[term] = dec
         return ids, dec
 
+    def proximity_top_k(
+        self, t1: str, t2: str, slop: int, k: int
+    ) -> list[tuple[int, int]]:
+        """Sloppy two-term phrase: occurrences are ordered position pairs
+        (p1, p2) with 0 < p2 - p1 <= slop + 1 (slop=0 == exact
+        adjacency). Score = occurrence count; rank (count DESC, doc_id
+        ASC). Integer-exact vs the SQL range-join oracle."""
+        if t1 not in self.postings or t2 not in self.postings:
+            return []
+        ids1, dec1 = self._term_positions(t1)
+        ids2, dec2 = self._term_positions(t2)
+        common = np.intersect1d(ids1, ids2)
+        results: list[tuple[int, int]] = []
+        for doc in common.tolist():
+            p1 = dec1[int(np.searchsorted(ids1, doc))]
+            p2 = dec2[int(np.searchsorted(ids2, doc))]
+            # pairs with p1 < p2 <= p1 + slop + 1, counted vectorized
+            hi = np.searchsorted(p2, p1 + slop + 1, side="right")
+            lo = np.searchsorted(p2, p1, side="right")
+            n = int((hi - lo).sum())
+            if n > 0:
+                results.append((int(doc), n))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:k]
+
     def phrase_top_k(self, phrase: str, k: int) -> list[tuple[int, int]]:
         """Top-k (doc_id, phrase_tf) for an exact token-adjacency phrase."""
         toks = tokenize(phrase)

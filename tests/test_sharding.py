@@ -240,3 +240,28 @@ def test_incremental_add_documents_matches_pinned_monolithic(
     queries.append(f"{queries[0]} {queries[2]}")
     for q in queries:
         assert single.top_k_auto(q, 5) == grown.top_k(q, 5), q
+
+
+def test_proximity_slop_semantics(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.stages.positions import (
+        PositionsReader,
+        build_positions,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta",              # gap 1 (adjacent)
+            "alpha x y beta",          # gap 3
+            "beta alpha",              # wrong order
+        ]),
+    }))
+    out = str(tmp_path_factory.mktemp("prox") / "pos")
+    build_positions(docs, out, input_lineage={"t": "prox"})
+    r = PositionsReader(out)
+    assert r.proximity_top_k("alpha", "beta", 0, 5) == [(0, 1)]
+    assert r.proximity_top_k("alpha", "beta", 2, 5) == [(0, 1), (1, 1)]
+    assert r.proximity_top_k("alpha", "missing", 2, 5) == []
