@@ -15,6 +15,9 @@ reference's async-upload "ready" flag, `handlers/ready.rs:13-23`).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyarrow as pa
 
 import ray.data as rd
@@ -58,13 +61,37 @@ class Engine:
         docs: rd.Dataset,
         index_dir: str,
         cfg: EngineConfig | None = None,
+        *,
+        input_lineage: dict | None = None,
+        overwrite: bool = False,
         **kwargs,
     ) -> "Engine":
+        """Build from an arbitrary docs Dataset.
+
+        A Dataset has no stable content identity, so the caller must
+        either supply ``input_lineage`` (which keys the resumable stage
+        fingerprints — see conformance._sf_cache_key for the pattern:
+        source path + size + mtime) or pass ``overwrite=True`` to rebuild
+        from scratch. Without one of those, building into an existing
+        ``index_dir`` with DIFFERENT data would match every committed
+        stage fingerprint and silently resume the stale index.
+        """
         from semantic_pdf_search_engine_ray.pipelines.build import (
             build_index_from_docs,
         )
-
-        build_index_from_docs(docs, index_dir, cfg, **kwargs)
+        existing = os.path.join(index_dir, "manifest.json")
+        if input_lineage is None and not overwrite and os.path.exists(existing):
+            raise ValueError(
+                f"{index_dir} already holds a committed index and no "
+                "input_lineage was given; pass input_lineage={...} (a "
+                "content-aware identity of the docs source) to resume, or "
+                "overwrite=True to rebuild from scratch"
+            )
+        if overwrite and os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        build_index_from_docs(
+            docs, index_dir, cfg, input_lineage=input_lineage or {}, **kwargs
+        )
         return cls(index_dir, cfg)
 
     # -- query --------------------------------------------------------------

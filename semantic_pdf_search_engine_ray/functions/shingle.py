@@ -92,12 +92,25 @@ def band_keys(sig: np.ndarray, bands: int) -> list[int]:
     return keys
 
 
+def md5_hash64(s: str) -> int:
+    """64-bit hash matching DuckDB's ``md5_number_lower``: the LOWER half
+    of md5 = little-endian uint64 of digest bytes 8..16 (verified against
+    DuckDB 1.0). Used where a SQL oracle must recompute the same hash."""
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[8:], "little"
+    )
+
+
 def simhash64(terms: list[str], counts: np.ndarray) -> int:
-    """64-bit SimHash over weighted term features (weight = tf)."""
+    """64-bit SimHash over weighted term features (weight = tf).
+
+    Term hash is ``md5_hash64`` (== DuckDB ``md5_number_lower``) so the
+    whole signature is recomputable in ANSI-ish SQL — that is what turns
+    dedup_simhash from a rows-only entry into an oracle-exact one."""
     if not terms:
         return 0
     hashes = np.fromiter(
-        (stable_hash64(t) for t in terms), dtype=np.uint64, count=len(terms)
+        (md5_hash64(t) for t in terms), dtype=np.uint64, count=len(terms)
     )
     bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     signed = np.where(bits.astype(np.int64) == 1, 1, -1)

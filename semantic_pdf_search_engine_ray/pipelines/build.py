@@ -611,6 +611,29 @@ def build_index_from_docs(
     return payload
 
 
+def path_content_lineage(path: str | list[str]) -> dict:
+    """Content-aware lineage for a local parquet path: file count + total
+    bytes + max mtime. Rebuilding into an existing index_dir with CHANGED
+    source data then never matches the committed stage fingerprints, so
+    a stale index is rebuilt instead of silently resumed."""
+    paths = path if isinstance(path, list) else [path]
+    n, size, mtime = 0, 0, 0.0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    n += 1
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime)
+        elif os.path.exists(p):
+            st = os.stat(p)
+            n += 1
+            size += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return {"path": paths, "n_files": n, "bytes": size, "mtime": mtime}
+
+
 def build_index_from_pages(
     pages_path: str | list[str],
     index_dir: str,
@@ -633,6 +656,6 @@ def build_index_from_pages(
         docs,
         index_dir,
         cfg,
-        input_lineage={"pages_path": pages_path},
+        input_lineage=path_content_lineage(pages_path),
         shuffle_mode=shuffle_mode,
     )

@@ -150,10 +150,15 @@ def pair_query_table(index_dir: str) -> pa.Table:
 
 
 def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
-    vals = np.round(
-        np.asarray(tbl.column(col).to_numpy(zero_copy_only=False), dtype=np.float64),
-        digits,
+    """Round with DuckDB's exact tie rule: round(x, d) in DuckDB computes
+    floor(|x| * 10^d + 0.5) * sign / 10^d (half AWAY from zero), while
+    np.round is half-to-even — a value landing exactly on a .5 tie would
+    otherwise flag a spurious mismatch vs the SQL oracle."""
+    v = np.asarray(
+        tbl.column(col).to_numpy(zero_copy_only=False), dtype=np.float64
     )
+    scale = 10.0 ** digits
+    vals = np.copysign(np.floor(np.abs(v) * scale + 0.5), v) / scale
     i = tbl.column_names.index(col)
     return tbl.set_column(i, col, pa.array(vals, type=pa.float64()))
 
@@ -1044,11 +1049,17 @@ FROM events GROUP BY 1, 2
 
 _SQL_EVENTS_SLIDING = """
 WITH ev AS (
-  SELECT epoch_us(ts) // 1000000 AS e, event_type, value FROM events
+  -- floored (numpy-convention) second truncation: DuckDB // truncates
+  -- toward zero and % follows the dividend sign, which would disagree
+  -- with the engine's floor_temporal for pre-1970 (negative) epochs
+  SELECT (epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+           // 1000000 AS e,
+         event_type, value FROM events
 ),
 w AS (
   SELECT unnest(list_transform(generate_series(0, 1),
-                i -> (e - e % 1800) - i * 1800)) AS window_start,
+                i -> (e - ((e % 1800) + 1800) % 1800) - i * 1800))
+           AS window_start,
          event_type, value
   FROM ev
 )

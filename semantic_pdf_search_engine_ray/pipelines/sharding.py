@@ -58,19 +58,29 @@ def build_sharded_index(
     docs_dir = os.path.join(root_dir, "docs_by_shard")
     ck = mf.StageCheckpoint(
         root_dir, "docs_by_shard",
-        {"input": input_lineage or {}, "n_shards": n_shards},
+        {"input": input_lineage or {}, "n_shards": n_shards,
+         "assign": "id_span"},
     )
     if not ck.is_complete():
         from semantic_pdf_search_engine_ray.stages.postings import AddDocLen
 
         out = ck.fresh_dir()
-        n_docs = docs_ds.count()
+        # range-partition over the ACTUAL id span (offset by the corpus
+        # doc_id min, mirroring make_salter) — a corpus whose ids start
+        # high must not clamp every doc into the last shard
+        from ray.data.aggregate import Max as AggMax, Min as AggMin
+
+        stats = docs_ds.aggregate(AggMin("doc_id"), AggMax("doc_id")) or {}
+        doc_min = int(stats.get("min(doc_id)") or 0)
+        doc_span = max(int(stats.get("max(doc_id)") or 0) - doc_min + 1, 1)
         add_dl = AddDocLen()
 
         def add_shard(batch: pa.Table) -> pa.Table:
             batch = add_dl(batch)
             ids = batch.column("doc_id").to_numpy()
-            shard = np.minimum(ids * n_shards // max(n_docs, 1), n_shards - 1)
+            shard = np.minimum(
+                (ids - doc_min) * n_shards // doc_span, n_shards - 1
+            )
             return batch.append_column(
                 "shard", pa.array(shard.astype(np.int64))
             )

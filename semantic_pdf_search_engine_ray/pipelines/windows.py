@@ -59,6 +59,9 @@ def assign_sliding(size_s: int, step_s: int):
         epoch = _epoch_seconds(batch.column("ts")).to_numpy(
             zero_copy_only=False
         )
+        # numpy % is FLOORED modulo, so pre-1970 (negative-epoch) events
+        # still land in the window containing them; the SQL oracle
+        # mirrors this with ((e % step) + step) % step
         base = epoch - epoch % step_s
         n = len(epoch)
         # with size a multiple of step, EVERY one of the k trailing
