@@ -62,6 +62,7 @@ CHUNK_UID_STRIDE = 1000
 EMB_DUP_THRESHOLD = 0.4
 ANN_K = 5
 ANN_QUERIES = 10
+SIMHASH_MAX_HAMMING = 3
 
 
 def documents_path(sf_dir: str) -> str:
@@ -549,7 +550,7 @@ def q_dedup_apply(sf_dir: str) -> rd.Dataset:
 
 
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
-    return dd.simhash_pairs(read_docs(sf_dir), max_hamming=3)
+    return dd.simhash_pairs(read_docs(sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def q_dedup_embedding(sf_dir: str) -> pa.Table:
@@ -1017,6 +1018,35 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT ib FROM removed)
 """
 
+# Full SimHash recomputation in SQL: per-term 64-bit hash via
+# md5_number_lower (== shingle.md5_hash64, verified bit-identical),
+# tf-weighted bit votes, signature assembly, exact hamming via
+# bit_count(xor(..)) over an O(n^2) inequality join (fine at oracle
+# scale; the engine side is the distributed Manku table search).
+_SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS cnt FROM toks GROUP BY doc_id, term),
+th AS (SELECT doc_id, cnt, md5_number_lower(term) AS h FROM tf),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN w > 0 THEN (1::UBIGINT << bit)::HUGEINT ELSE 0 END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
 _SQL_EMB_DUP = f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
@@ -1149,6 +1179,7 @@ ORACLE_SQL = {
     # or a lower LSH operating point than the output threshold.
     "dedup_minhash_lsh": _SQL_NGRAM_JACCARD,
     "dedup_apply": _SQL_DEDUP_APPLY,
+    "dedup_simhash": _SQL_SIMHASH,
     "dedup_embedding": _SQL_EMB_DUP,
     "ann_brute_topk": _SQL_ANN_BRUTE,
     "events_window": _SQL_EVENTS_WINDOW,
@@ -1156,5 +1187,5 @@ ORACLE_SQL = {
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
-    # normalize, highlights, dedup_simhash, ann_ivf_topk
+    # normalize, highlights, ann_ivf_topk
 }

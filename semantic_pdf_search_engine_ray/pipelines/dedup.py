@@ -15,8 +15,15 @@ Scale notes (the 100 TB story):
   it is the *correctness baseline* (SQL-checkable); the scale path is
   minhash_lsh_pairs, whose candidate set is linear in true-duplicate
   density. Band buckets are hash keys -> uniform shuffle.
-- verification reads only candidate docs' texts via parquet predicate
-  pushdown (candidates << corpus), broadcast once via ray.put.
+- minhash/simhash are FULLY distributed: exact-duplicate texts collapse
+  to one representative INSIDE each band bucket (all copies share every
+  band key, so each bucket sees whole exact groups — m identical docs
+  never become m^2/2 candidates), candidate dedup is a distributed
+  groupby, and verification tasks pushdown-read only their own batch's
+  docs. The driver touches nothing corpus-sized; the returned pair list
+  is itself the output contract.
+- simhash uses Manku (WWW'07) 6-choose-3 block-combination tables:
+  ~2^32-key buckets, in-bucket signature collapse + local hamming check.
 - embedding brute-force broadcasts the normalized matrix once (ray.put)
   and streams batches against it; the scale path buckets by random
   hyperplane LSH / IVF cells first (see pipelines/similarity.py).
@@ -26,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -130,7 +138,10 @@ def ngram_jaccard_pairs(
     sizes_tbl = shingles.groupby("doc_id").aggregate(
         Count(alias_name="set_size")
     ).to_arrow_refs()
-    sizes_at = pa.concat_tables(ray.get(sizes_tbl))
+    sizes_parts = [t for t in ray.get(sizes_tbl) if t.num_rows]
+    if not sizes_parts:
+        return PAIRS_SCHEMA.empty_table()
+    sizes_at = pa.concat_tables(sizes_parts)
     sizes = dict(
         zip(sizes_at.column("doc_id").to_pylist(),
             sizes_at.column("set_size").to_pylist())
@@ -172,13 +183,116 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH (the scale path), exact-verified
+# MinHash + LSH (the scale path), exact-verified — fully distributed
 # --------------------------------------------------------------------------
 
+_KIND_CAND, _KIND_EXACT, _KIND_MEMBER = 0, 1, 2
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) with DuckDB's half-AWAY-from-zero tie rule (what the
+    SQL oracles' round() computes); Python round() is half-to-even."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _filter_kind(ds: rd.Dataset, kind: int) -> rd.Dataset:
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("kind"), kind)).drop_columns(
+            ["kind"]
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _to_table(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
+    parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [p.select(schema.names).cast(schema) for p in parts]
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: pa.Table,
+    bucket_out: rd.Dataset,
+    value_name: str,
+    schema: pa.Schema,
+) -> pa.Table:
+    """Expand representative-level pairs to member-level pairs.
+
+    Exact-duplicate docs were collapsed to one representative before
+    candidate pairing; a verified rep pair extends to every member of
+    both groups at the SAME value (identical content -> identical
+    signature/shingles). Membership rows are fetched for ONLY the groups
+    touched by a verified pair — linear in the verified near-dup count,
+    never corpus-sized — then the exact-duplicate pairs (kind=EXACT,
+    emitted once by band-0 buckets) are unioned in."""
+    exact_tbl = _to_table(_filter_kind(bucket_out, _KIND_EXACT), schema)
+    if rep_pairs.num_rows == 0:
+        return exact_tbl.sort_by(
+            [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+        )
+    touched = set(rep_pairs.column("doc_id_a").to_pylist()) | set(
+        rep_pairs.column("doc_id_b").to_pylist()
+    )
+    touched_ref = ray.put(touched)
+
+    def touched_only(t: pa.Table) -> pa.Table:
+        tt = ray.get(touched_ref)
+        mask = pa.array(
+            [r in tt for r in t.column("doc_id_a").to_pylist()]
+        )
+        return t.filter(mask)
+
+    member_schema = pa.schema(
+        [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())]
+    )
+    mem_tbl = _to_table(
+        _filter_kind(bucket_out, _KIND_MEMBER).map_batches(
+            touched_only, batch_format="pyarrow"
+        ),
+        member_schema,
+    )
+    members: dict[int, list[int]] = {}
+    for rep, mdoc in zip(mem_tbl.column("doc_id_a").to_pylist(),
+                         mem_tbl.column("doc_id_b").to_pylist()):
+        members.setdefault(rep, []).append(mdoc)
+    rows_a: list[int] = []
+    rows_b: list[int] = []
+    rows_v: list = []
+    for ra, rb, v in zip(rep_pairs.column("doc_id_a").to_pylist(),
+                         rep_pairs.column("doc_id_b").to_pylist(),
+                         rep_pairs.column(value_name).to_pylist()):
+        for ai in members.get(ra, (ra,)):
+            for bj in members.get(rb, (rb,)):
+                lo, hi = (ai, bj) if ai < bj else (bj, ai)
+                rows_a.append(lo)
+                rows_b.append(hi)
+                rows_v.append(v)
+    expanded = pa.table(
+        {"doc_id_a": pa.array(rows_a, type=pa.int64()),
+         "doc_id_b": pa.array(rows_b, type=pa.int64()),
+         value_name: pa.array(rows_v, type=schema.field(value_name).type)}
+    )
+    return pa.concat_tables([expanded, exact_tbl]).sort_by(
+        [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+    )
+
+
 class MinHashBandStage:
-    """Actor-pool stage: (doc_id, text) -> (doc_id, band_key) rows.
-    The hasher's permutation table is built once per actor (T1 pattern,
-    `embed.rs:17-42` model singleton analog)."""
+    """(doc_id, text) -> one row per LSH band:
+    (band_key, band_no, doc_id, text_md5).
+
+    text_md5 (16 raw digest bytes) rides along so each band bucket can
+    collapse exact-duplicate texts LOCALLY: all copies of a text share
+    every band key, so a bucket always sees a whole exact group and can
+    pair group REPRESENTATIVES only — m identical docs no longer explode
+    into m^2/2 candidate pairs per band. The hasher's permutation table
+    (2 KB) is built once per instance and ships with the task closure
+    (cheaper than actor startup for so little state)."""
 
     def __init__(self, n: int, num_perm: int, bands: int):
         self.n = n
@@ -187,20 +301,121 @@ class MinHashBandStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids: list[int] = []
+        nos: list[int] = []
         keys: list[int] = []
+        md5s: list[bytes] = []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             base = hash_shingles(word_shingles(tokenize(text), self.n))
             if base.size == 0:
                 continue  # shingle-less doc can never pass verification
+            digest = hashlib.md5(text.encode("utf-8")).digest()
             sig = self.hasher.signature(base)
-            for key in band_keys(sig, self.bands):
+            for no, key in enumerate(band_keys(sig, self.bands)):
                 ids.append(doc_id)
+                nos.append(no)
                 keys.append(key)
+                md5s.append(digest)
         return pa.table(
-            {"doc_id": pa.array(ids, type=pa.int64()),
-             "band_key": pa.array(np.array(keys, dtype=np.uint64))}
+            {"band_key": pa.array(np.array(keys, dtype=np.uint64)),
+             "band_no": pa.array(nos, type=pa.int8()),
+             "doc_id": pa.array(ids, type=pa.int64()),
+             "text_md5": pa.array(md5s, type=pa.binary())}
+        )
+
+
+def _lsh_bucket(group: pa.Table) -> pa.Table:
+    """One LSH band bucket -> kind-tagged rows:
+
+    kind=CAND   candidate pair between exact-group representatives
+    kind=EXACT  exact-duplicate pair (J = 1.0 by construction), emitted
+                by band-0 buckets only so each pair appears exactly once
+    kind=MEMBER (representative, member) rows for groups of size >= 2,
+                band-0 buckets only — used for final pair expansion
+    """
+    ids = group.column("doc_id").to_pylist()
+    md5s = group.column("text_md5").to_pylist()
+    nos = group.column("band_no").to_pylist()
+    by_md5: dict[bytes, int] = {}
+    for d, m in zip(ids, md5s):
+        if m not in by_md5 or d < by_md5[m]:
+            by_md5[m] = d
+    reps = sorted(by_md5.values())
+    kind: list[int] = []
+    a_out: list[int] = []
+    b_out: list[int] = []
+    j_out: list[float | None] = []
+    for x, y in itertools.combinations(reps, 2):
+        kind.append(_KIND_CAND)
+        a_out.append(x)
+        b_out.append(y)
+        j_out.append(None)
+    # the band_no==0 filter also guards against a (vanishing) band_key
+    # collision merging rows from different band positions
+    zero_groups: dict[bytes, list[int]] = {}
+    for d, m, no in zip(ids, md5s, nos):
+        if no == 0:
+            zero_groups.setdefault(m, []).append(d)
+    for mem in zero_groups.values():
+        if len(mem) < 2:
+            continue
+        mem = sorted(mem)
+        for x, y in itertools.combinations(mem, 2):
+            kind.append(_KIND_EXACT)
+            a_out.append(x)
+            b_out.append(y)
+            j_out.append(1.0)
+        for mdoc in mem:
+            kind.append(_KIND_MEMBER)
+            a_out.append(mem[0])
+            b_out.append(mdoc)
+            j_out.append(None)
+    return pa.table(
+        {"kind": pa.array(kind, type=pa.int8()),
+         "doc_id_a": pa.array(a_out, type=pa.int64()),
+         "doc_id_b": pa.array(b_out, type=pa.int64()),
+         "jaccard": pa.array(j_out, type=pa.float64())}
+    )
+
+
+class VerifyJaccard:
+    """Candidate-pair verification WITHOUT driver-side materialization:
+    each task re-reads ONLY its batch's candidate docs from the source
+    parquet (predicate-pushdown isin read), shingles them locally and
+    keeps pairs with exact Jaccard >= t. This is the distributed analog
+    of a candidates-to-docs join, expressed as a per-task pushdown read —
+    the driver never sees candidate texts or shingle sets."""
+
+    def __init__(self, docs_path: str | list[str], n: int, threshold: float):
+        self.docs_path = docs_path
+        self.n = n
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_id_a").to_pylist()
+        b_ids = batch.column("doc_id_b").to_pylist()
+        want = sorted(set(a_ids) | set(b_ids))
+        texts = pads.dataset(self.docs_path).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(want),
+        )
+        sets = {
+            d: set(word_shingles(tokenize(t), self.n))
+            for d, t in zip(texts.column("doc_id").to_pylist(),
+                            texts.column("text").to_pylist())
+        }
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            j = jaccard(sets[a], sets[b])
+            if j >= self.threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(_round6(j))
+        return pa.table(
+            {"doc_id_a": pa.array(out_a, type=pa.int64()),
+             "doc_id_b": pa.array(out_b, type=pa.int64()),
+             "jaccard": pa.array(out_j, type=pa.float64())}
         )
 
 
@@ -210,78 +425,53 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_perm: int = 128,
     bands: int = 32,
+    stats: dict | None = None,
 ) -> pa.Table:
     """Near-dup pairs via MinHash band LSH, verified by exact Jaccard.
 
     Output contract == ngram_jaccard_pairs (pairs with exact J >= t); LSH
     only prunes the candidate space. With 128 perms / 32 bands x 4 rows
     the probability of missing a J=0.9 pair is (1-0.9^4)^32 ~ 5e-15.
-    Candidates' texts are re-read with predicate pushdown and broadcast
-    once for verification (candidates << corpus).
+
+    Fully distributed (no driver-side candidate/text materialization):
+      band rows -> band_key groupby (exact groups collapse IN-bucket to
+      representatives) -> candidate dedup via a distributed groupby ->
+      per-task pushdown-read verification -> member-level expansion.
+    On a 30-50%-duplicate web corpus every stage is linear in duplicate
+    density; the only corpus-sized exchange is the band-row shuffle
+    (~1 KB/doc at 32 bands). The final pa.Table is the PAIR LIST, which
+    is itself output-contract-sized; pipelines that only need the
+    cleaned corpus (apply_near_dedup) consume its doc_id_b column.
     """
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
-    # instance (task pool), not actor pool: the hasher's permutation table
-    # is a 2 KB numpy array — serializing it per task is far cheaper than
-    # actor startup
-    bands_ds = docs.map_batches(
-        MinHashBandStage(n, num_perm, bands), batch_format="pyarrow"
-    )
-    cand = bands_ds.groupby("band_key").map_groups(
-        _pairs_of_group, batch_format="pyarrow"
-    )
-    cand_parts = [p for p in ray.get(cand.to_arrow_refs()) if p.num_rows]
-    if not cand_parts:
-        return PAIRS_SCHEMA.empty_table()
-    # candidate dedup ACROSS bands happens driver-side: the candidate set
-    # is linear in true-duplicate density (that is the point of LSH), so
-    # it is tiny relative to the corpus; at 10^12 docs this one Arrow
-    # group_by would become a second distributed groupby over the pair
-    # stream — same semantics, one more exchange.
-    cand_tbl = (
-        pa.concat_tables(cand_parts)
-        .group_by(["doc_id_a", "doc_id_b"])
-        .aggregate([([], "count_all")])
-        .rename_columns(["doc_id_a", "doc_id_b", "n_bands"])
-    )
-
-    want = sorted(
-        set(cand_tbl.column("doc_id_a").to_pylist())
-        | set(cand_tbl.column("doc_id_b").to_pylist())
-    )
-    texts = pads.dataset(docs_path).to_table(
-        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(want)
-    )
-    sets = {
-        d: set(word_shingles(tokenize(t), n))
-        for d, t in zip(texts.column("doc_id").to_pylist(),
-                        texts.column("text").to_pylist())
-    }
-    sets_ref = ray.put(sets)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch.column("doc_id_a").to_pylist(),
-                        batch.column("doc_id_b").to_pylist()):
-            j = jaccard(ss[a], ss[b])
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(j, 6))
-        return pa.table(
-            {"doc_id_a": pa.array(out_a, type=pa.int64()),
-             "doc_id_b": pa.array(out_b, type=pa.int64()),
-             "jaccard": pa.array(out_j, type=pa.float64())}
+    bucket_out = (
+        docs.map_batches(
+            MinHashBandStage(n, num_perm, bands), batch_format="pyarrow"
         )
-
-    verified = rd.from_arrow(cand_tbl).map_batches(
-        verify, batch_format="pyarrow"
+        .groupby("band_key")
+        .map_groups(_lsh_bucket, batch_format="pyarrow")
+        .materialize()
     )
-    parts = [p for p in ray.get(verified.to_arrow_refs()) if p.num_rows]
-    parts = parts or [PAIRS_SCHEMA.empty_table()]
-    return pa.concat_tables(parts).sort_by(
-        [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+    cand = (
+        _filter_kind(bucket_out, _KIND_CAND)
+        .select_columns(["doc_id_a", "doc_id_b"])
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Count(alias_name="n_bands"))
     )
+    verified = cand.map_batches(
+        VerifyJaccard(docs_path, n, threshold), batch_format="pyarrow"
+    )
+    rep_pairs = _to_table(verified, PAIRS_SCHEMA)
+    out = _expand_rep_pairs(rep_pairs, bucket_out, "jaccard", PAIRS_SCHEMA)
+    if stats is not None:
+        # instrumentation for scale soaks (tools/dedup_soak.py): candidate
+        # volume must grow ~linearly with duplicate count, not corpus^2
+        stats["n_band_cand_rows"] = _filter_kind(
+            bucket_out, _KIND_CAND
+        ).count()
+        stats["n_rep_pairs"] = rep_pairs.num_rows
+        stats["n_pairs_out"] = out.num_rows
+    return out
 
 
 def apply_near_dedup(
@@ -312,13 +502,34 @@ def apply_near_dedup(
 
 
 # --------------------------------------------------------------------------
-# SimHash (banded hamming search)
+# SimHash (block-combination tables, permute-and-group; Manku WWW'07)
 # --------------------------------------------------------------------------
 
+SIMHASH_PAIRS_SCHEMA = pa.schema(
+    [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
+     ("hamming", pa.int64())]
+)
+
+# 64 bits -> 6 blocks; for hamming <= 3, at most 3 blocks are touched, so
+# at least 3 of 6 blocks are IDENTICAL -> some 3-block combination
+# matches exactly (pigeonhole, deterministic — no probabilistic recall
+# loss). C(6,3) = 20 tables, each keyed on a 30-33 bit concatenation of
+# the chosen blocks: the key space is ~2^32 per table (vs 2^16 for naive
+# 4-chunk banding), so bucket population stays ~corpus/2^32 and in-bucket
+# pairing no longer goes quadratic with corpus growth. This is the Manku
+# et al. (WWW'07, "Detecting Near-Duplicates for Web Crawling") table
+# design for f=64, k=3.
+_SIMHASH_WIDTHS = (11, 11, 11, 11, 10, 10)
+_SIMHASH_OFFSETS = tuple(
+    sum(_SIMHASH_WIDTHS[:i]) for i in range(len(_SIMHASH_WIDTHS))
+)
+_SIMHASH_COMBOS = tuple(itertools.combinations(range(6), 3))
+
+
 class SimHashStage:
-    """(doc_id, text) -> (doc_id, simhash, chunk0..chunk3) rows.
-    16-bit chunks implement the pigeonhole band: hamming(a,b) <= 3 implies
-    at least one of 4 chunks is equal."""
+    """(doc_id, text) -> 20 rows (bucket_key, doc_id, simhash); the
+    signature rides along so buckets verify hamming locally — no global
+    signature map is ever assembled or broadcast."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, sigs = [], []
@@ -336,62 +547,123 @@ class SimHashStage:
             ids.append(doc_id)
             sigs.append(sig)
         sig_arr = np.array(sigs, dtype=np.uint64)
-        cols = {"doc_id": pa.array(ids, type=pa.int64()),
-                "simhash": pa.array(sig_arr)}
-        for c in range(4):
-            cols[f"chunk{c}"] = pa.array(
-                ((sig_arr >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(
-                    np.int64
-                )
+        id_arr = np.array(ids, dtype=np.int64)
+        blocks = [
+            (sig_arr >> np.uint64(off)) & np.uint64((1 << w) - 1)
+            for off, w in zip(_SIMHASH_OFFSETS, _SIMHASH_WIDTHS)
+        ]
+        key_parts, id_parts, sig_parts = [], [], []
+        for ci, (i, j, l) in enumerate(_SIMHASH_COMBOS):
+            wj, wl = _SIMHASH_WIDTHS[j], _SIMHASH_WIDTHS[l]
+            concat = (
+                (blocks[i] << np.uint64(wj + wl))
+                | (blocks[j] << np.uint64(wl))
+                | blocks[l]
             )
-        return pa.table(cols)
+            key_parts.append(np.uint64(ci << 33) | concat)
+            id_parts.append(id_arr)
+            sig_parts.append(sig_arr)
+        if not key_parts:
+            return pa.table(
+                {"bucket_key": pa.array([], type=pa.uint64()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "simhash": pa.array([], type=pa.uint64())}
+            )
+        return pa.table(
+            {"bucket_key": pa.array(np.concatenate(key_parts)),
+             "doc_id": pa.array(np.concatenate(id_parts)),
+             "simhash": pa.array(np.concatenate(sig_parts))}
+        )
+
+
+def _simhash_bucket_fn(max_hamming: int):
+    def bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = group.column("simhash").to_pylist()
+        combo_idx = int(group.column("bucket_key")[0].as_py()) >> 33
+        # collapse identical signatures to their min-doc representative
+        # (exact dups and hash-identical docs): m identical sigs pair as
+        # ONE rep, never m^2/2 in-bucket pairs
+        by_sig: dict[int, int] = {}
+        for d, s in zip(ids, sigs):
+            if s not in by_sig or d < by_sig[s]:
+                by_sig[s] = d
+        reps = sorted(by_sig.items(), key=lambda kv: kv[1])
+        kind: list[int] = []
+        a_out: list[int] = []
+        b_out: list[int] = []
+        h_out: list[int | None] = []
+        if len(reps) > 1:
+            rep_sigs = np.array([s for s, _ in reps], dtype=np.uint64)
+            rep_ids = [d for _, d in reps]
+            iu, ju = np.triu_indices(len(reps), k=1)
+            ham = hamming64(rep_sigs[iu], rep_sigs[ju])
+            for x, y, d in zip(iu[ham <= max_hamming],
+                               ju[ham <= max_hamming],
+                               ham[ham <= max_hamming]):
+                lo, hi = sorted((rep_ids[x], rep_ids[y]))
+                kind.append(_KIND_CAND)
+                a_out.append(lo)
+                b_out.append(hi)
+                h_out.append(int(d))
+        if combo_idx == 0:
+            sig_groups: dict[int, list[int]] = {}
+            for d, s in zip(ids, sigs):
+                sig_groups.setdefault(s, []).append(d)
+            for mem in sig_groups.values():
+                if len(mem) < 2:
+                    continue
+                mem = sorted(mem)
+                for x, y in itertools.combinations(mem, 2):
+                    kind.append(_KIND_EXACT)
+                    a_out.append(x)
+                    b_out.append(y)
+                    h_out.append(0)
+                for mdoc in mem:
+                    kind.append(_KIND_MEMBER)
+                    a_out.append(mem[0])
+                    b_out.append(mdoc)
+                    h_out.append(None)
+        return pa.table(
+            {"kind": pa.array(kind, type=pa.int8()),
+             "doc_id_a": pa.array(a_out, type=pa.int64()),
+             "doc_id_b": pa.array(b_out, type=pa.int64()),
+             "hamming": pa.array(h_out, type=pa.int64())}
+        )
+
+    return bucket
 
 
 def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
-    """Doc pairs with SimHash hamming distance <= max_hamming (default 3,
-    requiring the 4-chunk pigeonhole to be exact). Banded: group by each
-    16-bit chunk value, pair within buckets, verify exact hamming, dedup."""
-    sigs = docs.map_batches(SimHashStage(), batch_format="pyarrow").materialize()
-    sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
-    sig_map = dict(
-        zip(sig_tbl.column("doc_id").to_pylist(),
-            sig_tbl.column("simhash").to_pylist())
+    """ALL doc pairs with SimHash hamming distance <= max_hamming (<= 3).
+
+    Fully distributed permute-and-group (Manku WWW'07 block-combination
+    tables — see _SIMHASH_COMBOS): doc -> 20 (bucket_key, doc_id, sig)
+    rows -> bucket groupby with in-bucket signature collapse + local
+    hamming verification -> distributed pair dedup (groupby Min) ->
+    member expansion. Recall is exact by pigeonhole for max_hamming <= 3;
+    no driver-side signature map, no pandas, no 2^16 bucket ceiling.
+    SQL-oracle-checkable because simhash64 uses the DuckDB-recomputable
+    md5-low64 term hash."""
+    if max_hamming > 3:
+        raise ValueError(
+            "the 6-choose-3 block design guarantees exact recall only for "
+            "max_hamming <= 3; widen _SIMHASH_COMBOS for larger radii"
+        )
+    bucket_out = (
+        docs.map_batches(SimHashStage(), batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(_simhash_bucket_fn(max_hamming), batch_format="pyarrow")
+        .materialize()
     )
-    sig_ref = ray.put(sig_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sig_ref)
-        a = batch.column("doc_id_a").to_pylist()
-        b = batch.column("doc_id_b").to_pylist()
-        ha = np.array([sm[x] for x in a], dtype=np.uint64)
-        hb = np.array([sm[x] for x in b], dtype=np.uint64)
-        d = hamming64(ha, hb)
-        keep = d <= max_hamming
-        return pa.table(
-            {"doc_id_a": pa.array(np.array(a, dtype=np.int64)[keep]),
-             "doc_id_b": pa.array(np.array(b, dtype=np.int64)[keep]),
-             "hamming": pa.array(d[keep])}
-        )
-
-    parts = []
-    for c in range(4):
-        cand = (
-            rd.from_arrow(sig_tbl.select(["doc_id", f"chunk{c}"]))
-            .groupby(f"chunk{c}")
-            .map_groups(_pairs_of_group, batch_format="pyarrow")
-        )
-        chk = cand.map_batches(verify, batch_format="pyarrow")
-        parts.extend(p for p in ray.get(chk.to_arrow_refs()) if p.num_rows)
-    if not parts:
-        return pa.schema(
-            [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
-             ("hamming", pa.int64())]
-        ).empty_table()
-    allp = pa.concat_tables(parts)
-    # dedup pairs found via multiple chunks
-    df = allp.to_pandas().drop_duplicates(["doc_id_a", "doc_id_b"])
-    return pa.Table.from_pandas(
-        df.sort_values(["doc_id_a", "doc_id_b"]), preserve_index=False
+    rep_pairs = _to_table(
+        _filter_kind(bucket_out, _KIND_CAND)
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Min("hamming", alias_name="hamming")),
+        SIMHASH_PAIRS_SCHEMA,
+    )
+    return _expand_rep_pairs(
+        rep_pairs, bucket_out, "hamming", SIMHASH_PAIRS_SCHEMA
     )
 
 

@@ -108,3 +108,84 @@ def test_ann_brute_matches_numpy_reference(ray_session):
         mask = [q == qid for q in got.column("query_vec_id").to_pylist()]
         sub = got.filter(pa.array(mask))
         assert sub.column("vec_id").to_pylist() == [int(c[0]) for c in cand[:3]]
+
+
+def _write_dup_corpus(tmp_path):
+    """Crafted corpus: exact-dup group A (2 copies), exact-dup group B
+    (3 copies, near-dup of A), and unrelated fillers — exercises the
+    in-bucket exact-group collapse and member-level pair expansion."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sleepy cat watches from the warm windowsill every morning")
+    near = base.replace("warm windowsill", "cold doorstep")
+    rows = {
+        "doc_id": [10, 11, 20, 21, 22, 30, 31],
+        "text": [base, base, near, near, near,
+                 "completely unrelated text about distributed query engines",
+                 "another unrelated document discussing parquet file layouts"],
+    }
+    path = str(tmp_path / "dupdocs.parquet")
+    pq.write_table(pa.table(rows), path)
+    return path
+
+
+def test_minhash_expansion_covers_exact_dup_groups(ray_session, tmp_path):
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    import ray.data as rd
+
+    path = _write_dup_corpus(tmp_path)
+    got = minhash_lsh_pairs(path, n=3, threshold=0.5)
+    exact = ngram_jaccard_pairs(
+        rd.read_parquet(path, columns=["doc_id", "text"]), n=3, threshold=0.5
+    )
+    assert got.to_pydict() == exact.to_pydict()
+    pairs = set(zip(got.column("doc_id_a").to_pylist(),
+                    got.column("doc_id_b").to_pylist()))
+    # 1 within-A + 3 within-B + 6 cross pairs
+    assert pairs == {(10, 11), (20, 21), (20, 22), (21, 22),
+                     (10, 20), (10, 21), (10, 22),
+                     (11, 20), (11, 21), (11, 22)}
+    jac = dict(zip(zip(got.column("doc_id_a").to_pylist(),
+                       got.column("doc_id_b").to_pylist()),
+                   got.column("jaccard").to_pylist()))
+    assert jac[(10, 11)] == 1.0 and jac[(20, 21)] == 1.0
+    assert jac[(10, 20)] == jac[(11, 22)] < 1.0
+
+
+def test_simhash_matches_brute_force_signatures(ray_session, tmp_path):
+    from semantic_pdf_search_engine_ray.functions.shingle import (
+        hamming64,
+        simhash64,
+    )
+    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    from semantic_pdf_search_engine_ray.pipelines.dedup import simhash_pairs
+    import ray.data as rd
+
+    path = _write_dup_corpus(tmp_path)
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    got = simhash_pairs(docs, max_hamming=3)
+    tbl = pq.read_table(path)
+    sigs = {}
+    for d, t in zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("text").to_pylist()):
+        toks = tokenize(t)
+        tf = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        keys = list(tf)
+        sigs[d] = simhash64(keys, np.array([tf[k] for k in keys]))
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = int(hamming64(np.array([sigs[a]], dtype=np.uint64),
+                              np.array([sigs[b]], dtype=np.uint64))[0])
+            if h <= 3:
+                want[(a, b)] = h
+    have = dict(zip(zip(got.column("doc_id_a").to_pylist(),
+                        got.column("doc_id_b").to_pylist()),
+                    got.column("hamming").to_pylist()))
+    assert have == want
+    assert (10, 11) in have and have[(10, 11)] == 0

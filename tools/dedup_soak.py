@@ -1,0 +1,119 @@
+"""High-duplication near-dedup soak (VERDICT r1 fix #1 'done' evidence).
+
+Synthesizes a web-like corpus with >= 30% duplicates (a mix of exact
+copies and light near-dup mutations — the regime where 'candidates <<
+corpus' does NOT hold), runs the fully-distributed minhash_lsh_pairs at
+two corpus sizes and reports:
+
+  - candidate volume vs duplicate count (must scale ~linearly with the
+    number of duplicated docs, not corpus^2)
+  - driver max-RSS growth (must stay ~flat: the driver never materializes
+    candidate texts or shingle sets, only the output pair list)
+
+Usage:  python tools/dedup_soak.py [n_docs ...]   (default: 30000 100000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = [
+    "data", "query", "engine", "stream", "batch", "index", "shard",
+    "vector", "table", "column", "merge", "scan", "filter", "group",
+    "window", "join", "hash", "sort", "cache", "block", "page", "store",
+    "write", "read", "plan", "task", "actor", "node", "cluster", "spill",
+]
+
+
+def make_corpus(path: str, n_docs: int, dup_frac: float = 0.35,
+                seed: int = 7) -> int:
+    """~(1-dup_frac) unique docs + dup_frac duplicates (70% exact copies,
+    30% 2-word mutations of a random earlier unique doc). Returns the
+    number of duplicated docs."""
+    rng = np.random.RandomState(seed)
+    n_unique = int(n_docs * (1.0 - dup_frac))
+    texts: list[str] = []
+    for _ in range(n_unique):
+        k = rng.randint(30, 60)
+        texts.append(" ".join(WORDS[i] for i in rng.randint(0, len(WORDS), k)))
+    n_dups = n_docs - n_unique
+    for _ in range(n_dups):
+        src = texts[rng.randint(0, n_unique)]
+        if rng.rand() < 0.7:
+            texts.append(src)
+        else:
+            toks = src.split()
+            for _ in range(2):
+                toks[rng.randint(0, len(toks))] = WORDS[rng.randint(0, len(WORDS))]
+            texts.append(" ".join(toks))
+    order = rng.permutation(n_docs)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array([texts[i] for i in order]),
+    })
+    pq.write_table(tbl, path)
+    return n_dups
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> None:
+    import ray
+
+    from semantic_pdf_search_engine_ray.pipelines.dedup import minhash_lsh_pairs
+
+    sizes = [int(a) for a in sys.argv[1:]] or [30_000, 100_000]
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=int(os.environ.get("SIM_CPUS", 16)),
+                 include_dashboard=False)
+    results = []
+    for n in sizes:
+        path = f"/tmp/dedup_soak_{n}.parquet"
+        n_dups = make_corpus(path, n)
+        rss0 = rss_mb()
+        stats: dict = {}
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(path, n=3, threshold=0.5, stats=stats)
+        dt = time.perf_counter() - t0
+        results.append({
+            "n_docs": n,
+            "n_dup_docs": n_dups,
+            "sec": round(dt, 2),
+            "docs_per_sec": round(n / dt),
+            "n_band_cand_rows": stats["n_band_cand_rows"],
+            "cand_rows_per_dup_doc": round(
+                stats["n_band_cand_rows"] / max(n_dups, 1), 2),
+            "n_rep_pairs": stats["n_rep_pairs"],
+            "n_pairs_out": pairs.num_rows,
+            "driver_rss_mb_before": round(rss0, 1),
+            "driver_rss_mb_after": round(rss_mb(), 1),
+        })
+        print(json.dumps(results[-1]))
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        growth = (b["n_band_cand_rows"] / max(a["n_band_cand_rows"], 1))
+        dup_growth = b["n_dup_docs"] / max(a["n_dup_docs"], 1)
+        print(json.dumps({
+            "cand_growth": round(growth, 2),
+            "dup_growth": round(dup_growth, 2),
+            "linear_in_dups": bool(growth < dup_growth * 1.5),
+            "driver_rss_delta_mb": round(
+                b["driver_rss_mb_after"] - a["driver_rss_mb_after"], 1),
+        }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
