@@ -564,8 +564,18 @@ def q_ann_brute(sf_dir: str) -> pa.Table:
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
-    """IVF with nprobe=2 of 8 cells (approximate; rows-only — the
-    full-probe configuration is pytest-asserted equal to brute force)."""
+    """IVF at full probe over the cell-partitioned layout: exercises the
+    build (cell assignment + hive-partitioned write) and the per-cell
+    scoring path while remaining EXACTLY equal to brute force -> checked
+    against the brute-force SQL oracle."""
+    return sim.ann_ivf_topk(embeddings_path(sf_dir), k=ANN_K,
+                            num_queries=ANN_QUERIES, n_cells=8, nprobe=None)
+
+
+def q_ann_ivf_pruned(sf_dir: str) -> pa.Table:
+    """IVF with nprobe=2 of 8 cells — the approximate scale config; the
+    read is pruned to probed partition dirs (rows-only: approximation is
+    not SQL-expressible)."""
     return sim.ann_ivf_topk(embeddings_path(sf_dir), k=ANN_K,
                             num_queries=ANN_QUERIES, n_cells=8, nprobe=2)
 
@@ -1146,6 +1156,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_topk": q_ann_brute,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_pruned": q_ann_ivf_pruned,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
@@ -1182,10 +1193,12 @@ ORACLE_SQL = {
     "dedup_simhash": _SQL_SIMHASH,
     "dedup_embedding": _SQL_EMB_DUP,
     "ann_brute_topk": _SQL_ANN_BRUTE,
+    # full-probe IVF over the cell-partitioned layout is exactly brute
+    "ann_ivf_topk": _SQL_ANN_BRUTE,
     "events_window": _SQL_EVENTS_WINDOW,
     "events_sliding": _SQL_EVENTS_SLIDING,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
-    # normalize, highlights, ann_ivf_topk
+    # normalize, highlights, ann_ivf_pruned
 }

@@ -23,6 +23,7 @@ nprobe/n_cells of the data at the read.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -160,6 +161,91 @@ def kmeans_centroids(
     return cents
 
 
+IVF_FORMAT_VERSION = 3
+
+
+def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
+    import hashlib
+    import json as _json
+
+    paths = emb_path if isinstance(emb_path, list) else [emb_path]
+    ident = []
+    for p in paths:
+        st = os.stat(p)
+        ident.append((os.path.abspath(p), st.st_size, int(st.st_mtime)))
+    key = hashlib.md5(
+        _json.dumps([ident, n_cells, IVF_FORMAT_VERSION]).encode()
+    ).hexdigest()[:16]
+    return f"/tmp/spse_ray_ivf_{key}"
+
+
+def build_ivf_index(
+    emb_path: str | list[str],
+    index_dir: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Build the cell-partitioned IVF layout: train the coarse quantizer
+    on a driver-side sample, assign every corpus vector to its nearest
+    centroid ONCE, and write the corpus as hive-partitioned parquet
+    (``cells/cell=<c>/``) plus a centroids table and committed manifest.
+
+    This is the physical layout the 100 TB query path relies on: a query
+    probing ``nprobe`` of ``n_cells`` cells reads ONLY those partition
+    directories — the other cells' bytes never leave storage (the r1
+    version recomputed cell assignment per batch and scanned everything).
+    Idempotent: a committed index_dir returns immediately."""
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    if mf.is_ready(index_dir):
+        return mf.load_manifest(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    sample = pads.dataset(emb_path).head(4096, columns=[emb_col])
+    smat = _normalize(np.array(sample.column(emb_col).to_pylist(), np.float64))
+    cents = kmeans_centroids(smat, n_cells)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _cents = ray.get(cents_ref)
+        bmat = _normalize(
+            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        )
+        cell = np.argmax(bmat @ _cents.T, axis=1).astype(np.int64)
+        # "cell" becomes the hive partition directory; "cell_id" is the
+        # same value kept INSIDE the data files so the query path still
+        # sees it when reading probed partition dirs directly
+        return batch.append_column(
+            "cell", pa.array(cell)
+        ).append_column("cell_id", pa.array(cell))
+
+    rd.read_parquet(emb_path, columns=[id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "cells"), partition_cols=["cell"])
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {"cell_id": pa.array(range(len(cents)), type=pa.int64()),
+             "centroid": pa.array([c.tolist() for c in cents],
+                                  type=pa.list_(pa.float64()))}
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    n_vectors = pads.dataset(os.path.join(index_dir, "cells")).count_rows()
+    payload = {
+        "kind": "ivf",
+        "ivf_format_version": IVF_FORMAT_VERSION,
+        "n_cells": int(len(cents)),
+        "n_vectors": int(n_vectors),
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "source": emb_path if isinstance(emb_path, list) else [emb_path],
+    }
+    mf.commit_manifest(index_dir, payload)
+    return payload
+
+
 def ann_ivf_topk(
     emb_path: str | list[str],
     k: int = 5,
@@ -168,44 +254,66 @@ def ann_ivf_topk(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index_dir: str | None = None,
+    scan_stats: dict | None = None,
 ) -> pa.Table:
-    """IVF-style ANN: corpus vectors quantized to their nearest centroid
-    cell; each query scans only its ``nprobe`` nearest cells.
+    """IVF ANN over the cell-partitioned layout built by build_ivf_index
+    (built on demand into a content-keyed /tmp dir when ``index_dir`` is
+    None). Each query probes its ``nprobe`` nearest cells; the read is
+    partition-pruned to the UNION of probed cells, and inside a batch
+    each cell's rows are scored only against the queries that probe that
+    cell — no whole-batch matmul, no per-batch re-quantization.
 
     nprobe=None (default) probes ALL cells -> exactly equal to
-    ann_brute_topk (tests assert this); small nprobe is the approximate
-    scale configuration.
+    ann_brute_topk (tests + the SQL oracle assert this); small nprobe is
+    the approximate scale configuration. ``scan_stats`` (optional dict)
+    receives rows_scanned / n_vectors / cells_probed as pruning evidence.
     """
     qids, qmat = load_query_matrix(emb_path, num_queries, id_col, emb_col)
-    sample = pads.dataset(emb_path).head(4096, columns=[emb_col])
-    smat = _normalize(np.array(sample.column(emb_col).to_pylist(), np.float64))
-    cents = kmeans_centroids(smat, n_cells)
+    index_dir = index_dir or _ivf_cache_dir(emb_path, n_cells)
+    meta = build_ivf_index(emb_path, index_dir, n_cells, id_col, emb_col)
+    cents_tbl = pads.dataset(
+        os.path.join(index_dir, "centroids.parquet")
+    ).to_table()
+    cents = np.array(cents_tbl.column("centroid").to_pylist(), np.float64)
     nprobe = len(cents) if nprobe is None else min(nprobe, len(cents))
-    # per query: the nprobe nearest cells
     probe = np.argsort(-(qmat @ cents.T), kind="stable", axis=1)[:, :nprobe]
-    q_ref = ray.put((qids, qmat, cents, probe))
+    needed = sorted({int(c) for c in probe.ravel()})
+    # cell -> indices of the queries probing it (drives per-cell matmuls)
+    cell_to_q = {
+        c: np.flatnonzero((probe == c).any(axis=1)) for c in needed
+    }
+    q_ref = ray.put((qids, qmat, cell_to_q))
 
     def partial(batch: pa.Table) -> pa.Table:
-        _qids, _qmat, _cents, _probe = ray.get(q_ref)
+        _qids, _qmat, _c2q = ray.get(q_ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
         bmat = _normalize(
             np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
         )
-        cell = np.argmax(bmat @ _cents.T, axis=1)
-        sims = _qmat @ bmat.T
+        cell = np.asarray(batch.column("cell_id").to_numpy(
+            zero_copy_only=False
+        )).astype(np.int64)
         qs, vs, cs = [], [], []
-        for qi, qid in enumerate(_qids):
-            allowed = np.isin(cell, _probe[qi])
-            mask = allowed & (bids != qid)
-            idx = np.flatnonzero(mask)
-            if idx.size == 0:
+        for c in np.unique(cell):
+            q_rows = _c2q.get(int(c))
+            if q_rows is None or q_rows.size == 0:
                 continue
-            row = sims[qi]
-            take = idx[np.lexsort((bids[idx], -row[idx]))[: k]]
-            for t in take:
-                qs.append(int(qid))
-                vs.append(int(bids[t]))
-                cs.append(float(row[t]))
+            rows = np.flatnonzero(cell == c)
+            sims = _qmat[q_rows] @ bmat[rows].T  # (q_sub, cell_rows)
+            cids = bids[rows]
+            for si, qi in enumerate(q_rows):
+                qid = int(_qids[qi])
+                mask = cids != qid  # exclude self
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                row = sims[si]
+                take = idx[np.lexsort((cids[idx], -row[idx]))[: k]]
+                for t in take:
+                    qs.append(qid)
+                    vs.append(int(cids[t]))
+                    cs.append(float(row[t]))
         return pa.table(
             {
                 "query_vec_id": pa.array(qs, type=pa.int64()),
@@ -214,8 +322,36 @@ def ann_ivf_topk(
             }
         )
 
-    out = rd.read_parquet(emb_path, columns=[id_col, emb_col]).map_batches(
-        partial, batch_format="pyarrow"
-    )
+    # prune at the read: only the probed cells' partition directories are
+    # ever opened — unprobed cells' bytes never leave storage
+    cells_path = os.path.join(index_dir, "cells")
+    probe_dirs = [
+        d for d in (os.path.join(cells_path, f"cell={c}") for c in needed)
+        if os.path.isdir(d)
+    ]
+    if not probe_dirs:
+        return TOPK_SCHEMA.empty_table()
+    probe_files = [
+        os.path.join(root, f)
+        for d in probe_dirs
+        for root, _dirs, files in os.walk(d)
+        for f in sorted(files)
+        if f.endswith(".parquet")
+    ]
+    ds = rd.read_parquet(probe_files, columns=[id_col, emb_col, "cell_id"])
+    out = ds.map_batches(partial, batch_format="pyarrow")
     parts = [p for p in ray.get(out.to_arrow_refs()) if p.num_rows]
+    if scan_stats is not None:
+        scan_stats["rows_scanned"] = sum(
+            pads.dataset(d).count_rows() for d in probe_dirs
+        )
+        scan_stats["bytes_scanned"] = sum(
+            os.path.getsize(os.path.join(root, f))
+            for d in probe_dirs
+            for root, _dirs, files in os.walk(d)
+            for f in files
+        )
+        scan_stats["n_vectors"] = int(meta["n_vectors"])
+        scan_stats["cells_probed"] = len(needed)
+        scan_stats["n_cells"] = int(meta["n_cells"])
     return _merge_topk(parts, k) if parts else TOPK_SCHEMA.empty_table()

@@ -189,3 +189,26 @@ def test_simhash_matches_brute_force_signatures(ray_session, tmp_path):
                     got.column("hamming").to_pylist()))
     assert have == want
     assert (10, 11) in have and have[(10, 11)] == 0
+
+
+def test_ann_ivf_pruned_read_touches_only_probed_cells(ray_session):
+    """The cell-partitioned layout must prune at the read: with nprobe=1
+    the scan covers only the probed partition dirs, not the corpus."""
+    from semantic_pdf_search_engine_ray.pipelines.similarity import ann_ivf_topk
+
+    stats: dict = {}
+    out = ann_ivf_topk(
+        f"{SF}/embeddings.parquet", k=3, num_queries=4, n_cells=8,
+        nprobe=1, scan_stats=stats,
+    )
+    assert out.num_rows > 0
+    assert stats["cells_probed"] < stats["n_cells"]
+    assert stats["rows_scanned"] < stats["n_vectors"]
+    assert stats["bytes_scanned"] > 0
+    # full probe reads everything and stays exact
+    full: dict = {}
+    ann_ivf_topk(
+        f"{SF}/embeddings.parquet", k=3, num_queries=4, n_cells=8,
+        nprobe=None, scan_stats=full,
+    )
+    assert full["rows_scanned"] == full["n_vectors"]
