@@ -69,21 +69,59 @@ class IndexReader:
         )
 
         # posting blocks: term -> [(first_doc, max_tfn, row_idx)] ordered
-        # by first_doc (salted / boundary-split runs merge here). The
-        # binary blobs stay in the Arrow table (zero-copy mmap-able) and
-        # are materialized lazily per block — actor startup cost is the
-        # metadata columns, not the posting payload.
+        # by first_doc (salted / boundary-split runs merge here).
+        #
+        # Memory contract: ONLY the metadata columns (term, first_doc,
+        # max_tfn) are loaded eagerly — the binary posting blobs stay on
+        # disk and are fetched per ROW GROUP on first use
+        # (pq.ParquetFile.read_row_group), so per-actor resident size is
+        # ~metadata + the row groups the query stream actually touches,
+        # not a full copy of the posting payload per actor. (The r1
+        # version read_table'd every column into every actor.)
         from semantic_pdf_search_engine_ray.stages.postings import (
             group_rows_by_term,
         )
 
-        b_tbl = pq.read_table(
-            os.path.join(index_dir, "postings")
-        ).combine_chunks()
+        pdir = os.path.join(index_dir, "postings")
+        self._files: list[str] = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(pdir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        metas = []
+        # global row -> (file idx, row group idx, row offset inside group)
+        rg_file: list[int] = []
+        rg_index: list[int] = []
+        rg_nrows: list[int] = []
+        for fi, path in enumerate(self._files):
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.metadata.num_row_groups):
+                rg_file.append(fi)
+                rg_index.append(rg)
+                rg_nrows.append(pf.metadata.row_group(rg).num_rows)
+            metas.append(
+                pf.read(columns=["term", "first_doc", "max_tfn"])
+            )
+            pf.close()
+        if metas:
+            b_tbl = pa.concat_tables(metas).combine_chunks()
+        else:
+            b_tbl = pa.schema(
+                [("term", pa.string()), ("first_doc", pa.int64()),
+                 ("max_tfn", pa.float64())]
+            ).empty_table()
+        self._rg_file = np.array(rg_file, dtype=np.int64)
+        self._rg_index = np.array(rg_index, dtype=np.int64)
+        # rows [_rg_starts[g], _rg_starts[g+1]) live in row group g
+        self._rg_starts = np.concatenate(
+            [[0], np.cumsum(np.array(rg_nrows, dtype=np.int64))]
+        )
+        self._pf_handles: dict[int, pq.ParquetFile] = {}
+        self._rg_cache: dict[int, tuple[pa.Array, pa.Array]] = {}
+
         first = b_tbl.column("first_doc").to_numpy()
         maxtfn = b_tbl.column("max_tfn").to_numpy()
-        self._docs_col = b_tbl.column("docs").combine_chunks()
-        self._tfs_col = b_tbl.column("tfs").combine_chunks()
         # term -> (first_docs, max_tfns, row_indices), each sorted by
         # first_doc — numpy slices, no per-row Python objects
         self.blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {
@@ -98,9 +136,30 @@ class IndexReader:
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._tfn_cache: dict[str, np.ndarray] = {}
 
+    # number of fetched row groups kept resident; decoded postings are
+    # cached per term above, so this only needs to absorb fetch locality
+    _RG_CACHE_MAX = 64
+
     def _block_bufs(self, row: int) -> tuple[bytes, bytes]:
-        """Materialize one block's (docs, tfs) blobs from the Arrow table."""
-        return self._docs_col[row].as_py(), self._tfs_col[row].as_py()
+        """Materialize one block's (docs, tfs) blobs, fetching its parquet
+        row group from disk on first touch."""
+        g = int(np.searchsorted(self._rg_starts, row, side="right")) - 1
+        hit = self._rg_cache.get(g)
+        if hit is None:
+            fi = int(self._rg_file[g])
+            pf = self._pf_handles.get(fi)
+            if pf is None:
+                pf = pq.ParquetFile(self._files[fi])
+                self._pf_handles[fi] = pf
+            t = pf.read_row_group(
+                int(self._rg_index[g]), columns=["docs", "tfs"]
+            ).combine_chunks()
+            hit = (t.column("docs").chunk(0), t.column("tfs").chunk(0))
+            if len(self._rg_cache) >= self._RG_CACHE_MAX:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[g] = hit
+        off = row - int(self._rg_starts[g])
+        return hit[0][off].as_py(), hit[1][off].as_py()
 
     def _term_tfn(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, tfn) for a term — tfn is a pure function of the

@@ -140,3 +140,21 @@ def test_empty_and_oov_queries(built_index):
     assert reader.top_k_exhaustive("", 5) == []
     assert reader.top_k_wand("", 5) == []
     assert reader.top_k_wand("zzzznotaterm qqqqneither", 5) == []
+
+
+def test_reader_loads_posting_blobs_lazily(built_index):
+    """Startup must read only metadata columns; posting row groups are
+    fetched on first touch and only for queried terms (the per-actor
+    memory contract for multi-actor query pools)."""
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir, _ = built_index
+    reader = IndexReader(index_dir)
+    assert reader._rg_cache == {}  # nothing fetched at init
+    assert reader._pf_handles == {}
+    reader.top_k_exhaustive("the data", 3)
+    touched = len(reader._rg_cache)
+    assert touched >= 1  # the queried terms' groups came in
+    total_rgs = len(reader._rg_file)
+    if total_rgs > 1:
+        assert touched < total_rgs  # ...but not the whole index
