@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -43,6 +44,235 @@ def _ensure_ray(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _serve(args) -> int:
+    """HTTP app surface — full parity with the reference web app:
+
+    GET  /api/search?q=..&k=..  ranked hits WITH payload: url, snippet
+                                text and highlight char spans (the
+                                web-text analog of the reference's
+                                per-hit {page, rects} + repl {page,text},
+                                handlers/search.rs:97-184, repl.rs:221-241)
+    POST /upload                JSON {"docs": [{"url"?, "text"}, ...]} ->
+                                202 {"id", "doc_ids"}; documents are
+                                indexed ASYNCHRONOUSLY into a new shard
+                                (handlers/upload.rs:20-76: multipart PDF
+                                -> async index). Requires a sharded root
+                                (build-sharded / sharding.add_documents).
+    GET  /api/ready[?id=..]     global index readiness from the durable
+                                manifest, or per-ingest readiness that
+                                flips when the upload's shard commits
+                                (handlers/ready.rs:13-23)
+    """
+    import threading
+    import urllib.parse
+    import uuid
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow.dataset as pads
+
+    from semantic_pdf_search_engine_ray.functions.fuzzy import (
+        fuzzy_search,
+        snap_to_sentence_boundaries,
+    )
+    from semantic_pdf_search_engine_ray.functions.textnorm import char_entries
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    index_dir = args.index
+    default_k = args.k
+    m = mf.load_manifest(index_dir)
+    sharded = m.get("layout") == "doc_range_sharded"
+    if sharded:
+        from semantic_pdf_search_engine_ray.pipelines.sharding import (
+            ShardedReader,
+        )
+
+        reader = ShardedReader(index_dir)
+    else:
+        reader = IndexReader(index_dir)
+
+    lock = threading.Lock()
+    state: dict = {"reader": reader, "max_doc_id": None}
+    ingests: dict[str, dict] = {}
+
+    def docs_dirs() -> list[str]:
+        if sharded:
+            mm = mf.load_manifest(index_dir)
+            return [os.path.join(index_dir, s, "docs") for s in mm["shards"]]
+        return [os.path.join(index_dir, "docs")]
+
+    def fetch_docs(ids: list[int]) -> dict[int, dict]:
+        """Pushdown isin read of the k hit docs from the docs store(s) —
+        the J3 payload projection, never a corpus scan."""
+        out: dict[int, dict] = {}
+        for d in docs_dirs():
+            if not os.path.isdir(d):
+                continue
+            ds = pads.dataset(d)
+            cols = [c for c in ("doc_id", "url", "text")
+                    if c in ds.schema.names]
+            t = ds.to_table(columns=cols,
+                            filter=pads.field("doc_id").isin(ids))
+            for row in t.to_pylist():
+                out[row["doc_id"]] = row
+        return out
+
+    def top_k(q: str, k: int) -> list[tuple[int, float]]:
+        with lock:
+            r = state["reader"]
+        return r.top_k(q, k) if sharded else r.top_k_auto(q, k)
+
+    def hit_payload(q: str, hits: list[tuple[int, float]]) -> list[dict]:
+        docs = fetch_docs(sorted({d for d, _ in hits}))
+        out = []
+        for rank, (doc_id, score) in enumerate(hits, start=1):
+            row = docs.get(doc_id, {})
+            text = row.get("text", "") or ""
+            entries = char_entries(text)
+            spans = []
+            for s, e, hscore in fuzzy_search(entries, q, 0.85):
+                s2, e2 = snap_to_sentence_boundaries(entries, s, e)
+                src_s = entries[s2][0] if s2 < len(entries) else len(text)
+                src_e = entries[e2 - 1][0] + 1 if e2 > s2 else src_s
+                spans.append({"start": src_s, "end": src_e,
+                              "score": hscore,
+                              "snippet": text[src_s:src_e]})
+            out.append({
+                "rank": rank, "doc_id": doc_id, "score": score,
+                "url": row.get("url"),
+                "text": (spans[0]["snippet"] if spans else text[:200]),
+                "highlights": spans,
+            })
+        return out
+
+    def current_max_doc_id() -> int:
+        hi = -1
+        for d in docs_dirs():
+            if not os.path.isdir(d):
+                continue
+            t = pads.dataset(d).to_table(columns=["doc_id"])
+            if t.num_rows:
+                hi = max(hi, int(max(t.column("doc_id").to_pylist())))
+        return hi
+
+    def ingest_worker(ingest_id: str, doc_ids: list[int], rows: list[dict]):
+        try:
+            _ensure_ray(None)
+            import pyarrow as pa
+            import ray.data as rd
+
+            from semantic_pdf_search_engine_ray.pipelines.sharding import (
+                ShardedReader,
+                add_documents,
+            )
+
+            tbl = pa.table({
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "url": pa.array([r.get("url") or f"upload://{i}"
+                                 for r, i in zip(rows, doc_ids)],
+                                type=pa.string()),
+                "text": pa.array([r["text"] for r in rows],
+                                 type=pa.string()),
+            })
+            add_documents(index_dir, rd.from_arrow(tbl),
+                          input_lineage={"ingest": ingest_id})
+            new_reader = ShardedReader(index_dir)
+            with lock:
+                state["reader"] = new_reader
+            ingests[ingest_id]["status"] = "ready"
+        except Exception as exc:  # surfaced via /api/ready?id=
+            ingests[ingest_id]["status"] = f"error: {exc}"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, payload, code=200):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urllib.parse.urlparse(self.path)
+            qs = urllib.parse.parse_qs(url.query)
+            if url.path == "/api/ready":
+                ingest_id = (qs.get("id") or [None])[0]
+                if ingest_id is None:
+                    self._json({"ready": mf.is_ready(index_dir)})
+                elif ingest_id in ingests:
+                    ing = ingests[ingest_id]
+                    self._json({"ready": ing["status"] == "ready",
+                                "status": ing["status"],
+                                "doc_ids": ing["doc_ids"]})
+                else:
+                    self._json({"error": "unknown ingest id"}, 404)
+            elif url.path == "/api/search":
+                q = (qs.get("q") or [""])[0]
+                if not q.strip():
+                    self._json([])  # empty query -> [] (search.rs:20-22)
+                    return
+                try:
+                    k = int((qs.get("k") or [default_k])[0])
+                except ValueError:
+                    self._json({"error": "k must be an integer"}, 400)
+                    return
+                if not 1 <= k <= 1000:
+                    self._json({"error": "k out of range [1,1000]"}, 400)
+                    return
+                self._json(hit_payload(q, top_k(q, k)))
+            else:
+                self._json({"error": "not found"}, code=404)
+
+        def do_POST(self):
+            url = urllib.parse.urlparse(self.path)
+            if url.path != "/upload":
+                self._json({"error": "not found"}, code=404)
+                return
+            if not sharded:
+                self._json(
+                    {"error": "uploads need a sharded index root "
+                              "(build with the build-sharded command)"},
+                    409,
+                )
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                rows = body["docs"]
+                assert isinstance(rows, list) and rows
+                assert all(isinstance(r.get("text"), str) for r in rows)
+            except Exception:
+                self._json({"error": "body must be JSON "
+                                     '{"docs": [{"text": ...}, ...]}'}, 400)
+                return
+            with lock:
+                if state["max_doc_id"] is None:
+                    state["max_doc_id"] = current_max_doc_id()
+                start = state["max_doc_id"] + 1
+                state["max_doc_id"] += len(rows)
+            doc_ids = list(range(start, start + len(rows)))
+            ingest_id = uuid.uuid4().hex
+            ingests[ingest_id] = {"status": "indexing", "doc_ids": doc_ids}
+            threading.Thread(
+                target=ingest_worker, args=(ingest_id, doc_ids, rows),
+                daemon=True,
+            ).start()
+            self._json({"id": ingest_id, "doc_ids": doc_ids}, 202)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
+    print(json.dumps({"serving": f"http://127.0.0.1:{args.port}",
+                      "n_docs": reader.n_docs,
+                      "sharded": sharded}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="semantic_pdf_search_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -62,6 +292,14 @@ def main(argv: list[str] | None = None) -> int:
     bd.add_argument("--output", required=True)
     bd.add_argument("--mode", default="hash_partition",
                     choices=["hash_partition", "sort", "groupby_salt"])
+
+    bs = sub.add_parser(
+        "build-sharded", parents=[common],
+        help="documents parquet -> doc-range-sharded index root (the "
+             "upload-capable serve target; grows via POST /upload)")
+    bs.add_argument("--input", required=True)
+    bs.add_argument("--output", required=True)
+    bs.add_argument("--shards", type=int, default=4)
 
     q = sub.add_parser("query", parents=[common],
                        help="one query -> top-k JSON lines")
@@ -100,62 +338,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "serve":
-        import urllib.parse
-        from http.server import BaseHTTPRequestHandler, HTTPServer
-
-        from semantic_pdf_search_engine_ray.stages.query import IndexReader
-        from semantic_pdf_search_engine_ray.state.manifest import is_ready
-
-        reader = IndexReader(args.index)
-        default_k = args.k
-        index_dir = args.index
-
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):  # quiet
-                pass
-
-            def _json(self, payload, code=200):
-                body = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def do_GET(self):
-                url = urllib.parse.urlparse(self.path)
-                qs = urllib.parse.parse_qs(url.query)
-                if url.path == "/api/ready":
-                    self._json({"ready": is_ready(index_dir)})
-                elif url.path == "/api/search":
-                    q = (qs.get("q") or [""])[0]
-                    if not q.strip():
-                        self._json([])  # empty query -> [] (search.rs:20-22)
-                        return
-                    try:
-                        k = int((qs.get("k") or [default_k])[0])
-                    except ValueError:
-                        self._json({"error": "k must be an integer"}, 400)
-                        return
-                    if not 1 <= k <= 1000:
-                        self._json({"error": "k out of range [1,1000]"}, 400)
-                        return
-                    hits = reader.top_k_auto(q, k)
-                    self._json([
-                        {"rank": r, "doc_id": d, "score": s}
-                        for r, (d, s) in enumerate(hits, start=1)
-                    ])
-                else:
-                    self._json({"error": "not found"}, code=404)
-
-        srv = HTTPServer(("127.0.0.1", args.port), Handler)
-        print(json.dumps({"serving": f"http://127.0.0.1:{args.port}",
-                          "n_docs": reader.n_docs}), flush=True)
-        try:
-            srv.serve_forever()
-        except KeyboardInterrupt:
-            pass
-        return 0
+        return _serve(args)
 
     if args.cmd == "repl":
         from semantic_pdf_search_engine_ray.stages.query import IndexReader
@@ -222,6 +405,20 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({k: manifest[k] for k in
                               ("build_id", "n_docs", "avgdl")}))
+        elif args.cmd == "build-sharded":
+            import ray.data as rd
+
+            from semantic_pdf_search_engine_ray.pipelines.sharding import (
+                build_sharded_index,
+            )
+
+            docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            manifest = build_sharded_index(
+                docs, args.output, n_shards=args.shards,
+                input_lineage={"docs_path": args.input},
+            )
+            print(json.dumps({k: manifest[k] for k in
+                              ("n_docs", "n_shards", "avgdl")}))
         elif args.cmd == "query-batch":
             import ray.data as rd
 

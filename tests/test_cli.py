@@ -70,3 +70,94 @@ def test_cli_zero_hit_query(cli_index):
     out = _run(["query", "--index", cli_index, "--query",
                 "zzzznotaword", "-k", "5"])
     assert not [l for l in out.splitlines() if l.startswith("{")]
+
+
+@pytest.fixture(scope="module")
+def sharded_root(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        build_sharded_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("cli") / "sharded")
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    build_sharded_index(docs, root, n_shards=2,
+                        input_lineage={"t": "cli-serve"})
+    return root
+
+
+def _http_json(url, data=None, timeout=10):
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(data).encode() if data is not None else None,
+        headers={"Content-Type": "application/json"} if data else {},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def test_serve_upload_ready_search_roundtrip(sharded_root):
+    """Reference app parity (S7): POST /upload -> async index -> per-id
+    /api/ready flips -> /api/search returns the NEW doc with url, snippet
+    text and highlight spans (upload.rs:20-76, ready.rs:13-23,
+    search.rs:97-184)."""
+    import socket
+    import time
+    import urllib.error
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # serve owns its own local Ray on upload
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "semantic_pdf_search_engine_ray.cli",
+         "serve", "--index", sharded_root, "--port", str(port)],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(100):  # wait for the server socket
+            try:
+                assert _http_json(f"{base}/api/ready")["ready"] is True
+                break
+            except (urllib.error.URLError, ConnectionError):
+                time.sleep(0.2)
+        else:
+            raise AssertionError("serve did not come up")
+
+        # enriched search over the existing corpus
+        hits = _http_json(f"{base}/api/search?q=table%20scan&k=3")
+        assert len(hits) == 3
+        assert {"rank", "doc_id", "score", "url", "text", "highlights"} <= set(hits[0])
+
+        marker = "xanthozephyr quasar lattice"
+        up = _http_json(f"{base}/upload", data={
+            "docs": [{"url": "upload://t1",
+                      "text": f"a fresh document about the {marker} "
+                              "phenomenon observed in distributed engines"}]
+        })
+        assert up["doc_ids"], up
+        for _ in range(300):  # async index: Ray startup + shard build
+            st = _http_json(f"{base}/api/ready?id={up['id']}")
+            assert not str(st["status"]).startswith("error"), st
+            if st["ready"]:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("ingest never became ready")
+
+        res = _http_json(f"{base}/api/search?q=xanthozephyr%20quasar&k=3")
+        assert res and res[0]["doc_id"] == up["doc_ids"][0]
+        assert res[0]["url"] == "upload://t1"
+        assert marker.split()[0] in res[0]["text"]
+        assert res[0]["highlights"] and all(
+            h["end"] > h["start"] for h in res[0]["highlights"])
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
