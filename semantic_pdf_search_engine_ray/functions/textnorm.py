@@ -189,15 +189,14 @@ def char_entries(text: str) -> list[tuple[int, str]]:
     return out
 
 
-# Sentence segmentation: the reference uses unicode_segmentation's
-# unicode_sentences (chunk.rs:382-384). We pin a deterministic regex
-# approximation: a sentence ends after a run of [.!?] followed by
-# whitespace (the trailing whitespace stays attached, as UAX#29 does).
-_SENT_RE = re.compile(r"[^.!?]*[.!?]+\s*|[^.!?]+$")
-
-
 def split_into_sentences(text: str) -> list[str]:
-    """Deterministic sentence splitter (pinned approximation of chunk.rs:382-384)."""
-    if not text:
-        return []
-    return _SENT_RE.findall(text)
+    """UAX#29 sentence segmentation — the same spec the reference's
+    ``unicode_segmentation::unicode_sentences`` implements
+    (chunk.rs:382-384); see functions/uax29.py for the rule engine.
+    Handles the cases the r1 regex approximation split wrongly:
+    abbreviations ("e.g. x"), decimals ("3.14"), quoted terminators."""
+    from semantic_pdf_search_engine_ray.functions.uax29 import (
+        unicode_sentences,
+    )
+
+    return unicode_sentences(text)

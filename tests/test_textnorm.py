@@ -82,3 +82,40 @@ def test_split_into_sentences_basic():
 def test_normalizer_is_idempotent_on_clean_text():
     clean = clean_text_robust("Some plain sentence. Another one follows here.")
     assert clean_text_robust(clean) == clean
+
+
+def test_uax29_abbreviations_and_decimals():
+    """The UAX#29 cases the r1 regex splitter got wrong (VERDICT #6):
+    SB8 (lowercase continuation), SB6 (numeric), SB7 (initials),
+    SB9/SB10 (quotes and trailing space), SB3/SB4 (CRLF)."""
+    assert split_into_sentences("i.e. lowercase continues. Next.") == [
+        "i.e. lowercase continues. ", "Next."]
+    assert split_into_sentences("Pi is 3.14 here. Done.") == [
+        "Pi is 3.14 here. ", "Done."]
+    assert split_into_sentences("U.S.A. is large. Yes.") == [
+        "U.S.A. is large. ", "Yes."]
+    assert split_into_sentences('He said "Stop." Then left.') == [
+        'He said "Stop." ', "Then left."]
+    assert split_into_sentences("Line one.\r\nLine two.") == [
+        "Line one.\r\n", "Line two."]
+    # SB7: ATerm directly between letters with Upper after does not split
+    assert split_into_sentences("it.He left") == ["it.He left"]
+    # STerm always terminates (no abbreviation semantics)
+    assert split_into_sentences("Stop!go") == ["Stop!", "go"]
+    # SB8 skips digits/space to find the lowercase continuation
+    assert split_into_sentences("Version 2. 5 is out") == [
+        "Version 2. 5 is out"]
+
+
+def test_uax29_segments_reconstruct_input():
+    texts = [
+        "One. Two! Three? Four",
+        "Mr. Smith met Dr. Jones. They talked.",
+        "tab\tseparated. sentence two.",
+        "ends with terminator!",
+        "(parens.) After close. ",
+    ]
+    for t in texts:
+        segs = split_into_sentences(t)
+        assert "".join(segs) == t
+        assert all(segs)
