@@ -63,6 +63,8 @@ EMB_DUP_THRESHOLD = 0.4
 ANN_K = 5
 ANN_QUERIES = 10
 SIMHASH_MAX_HAMMING = 3
+UNIGRAM_MIN_COUNT = 2
+UNIGRAM_OOV_CF = 1
 
 
 def documents_path(sf_dir: str) -> str:
@@ -212,7 +214,8 @@ def q_winnow(sf_dir: str) -> rd.Dataset:
 
 
 def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
-    return ts.unigram_logprob(read_docs(sf_dir))
+    return ts.unigram_logprob(read_docs(sf_dir),
+                              min_count=UNIGRAM_MIN_COUNT)
 
 
 def q_term_df(sf_dir: str) -> pa.Table:
@@ -958,12 +961,13 @@ WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
   FROM documents
 ),
-cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term
+       HAVING count(*) >= {UNIGRAM_MIN_COUNT}),
 tot AS (SELECT count(*) AS total FROM toks),
 per AS (
   SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-         sum(ln(cf.cf * 1.0 / tot.total)) AS ll
-  FROM toks t JOIN cf ON cf.term = t.term CROSS JOIN tot
+         sum(ln(coalesce(cf.cf, {UNIGRAM_OOV_CF}) * 1.0 / tot.total)) AS ll
+  FROM toks t LEFT JOIN cf ON cf.term = t.term CROSS JOIN tot
   GROUP BY t.doc_id
 )
 SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,

@@ -192,14 +192,28 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 # dataset-level entry points
 # --------------------------------------------------------------------------
 
-def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
+# OOV collection-frequency floor: a token outside the broadcast
+# vocabulary (pruned by min_count, or genuinely unseen when scoring a
+# different corpus) scores as if it were a singleton. Pinned here AND in
+# the SQL oracle (coalesce(cf, 1)).
+UNIGRAM_OOV_CF = 1.0
+
+
+def unigram_logprob(docs: rd.Dataset, min_count: int = 2) -> rd.Dataset:
     """Per-doc unigram LM score: sum over tokens of ln(cf(t)/total) —
     the corpus-fit quality signal (low = off-distribution/garbage).
 
     Two-pass, Ray-first: pass 1 computes the corpus unigram table with a
-    partial-aggregating groupby (collection frequencies), broadcast once
-    via ray.put; pass 2 scores each doc against it vectorized. OOV tokens
-    are impossible by construction (the model IS this corpus).
+    partial-aggregating groupby (collection frequencies); pass 2 scores
+    each doc against it vectorized.
+
+    Memory bound (the 100 TB story): only terms with cf >= ``min_count``
+    enter the broadcast vocabulary, so the model holds at most
+    total_tokens/min_count entries no matter how heavy-tailed the web
+    vocabulary is (typos/ids/hashes are effectively unbounded otherwise —
+    r1 broadcast the FULL vocab). ``total`` stays the unpruned token
+    count; pruned/unseen tokens score with the pinned UNIGRAM_OOV_CF
+    floor, mirrored exactly in the SQL oracle.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -227,9 +241,13 @@ def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
         {"term": pa.array([], type=pa.string()),
          "cf": pa.array([], type=pa.int64())}
     )
-    cf = dict(zip(cf_tbl.column("term").to_pylist(),
-                  cf_tbl.column("cf").to_numpy()))
-    total = int(sum(cf.values()))
+    cf_all = cf_tbl.column("cf").to_numpy()
+    total = int(cf_all.sum()) if len(cf_all) else 0
+    keep = cf_all >= min_count
+    cf = dict(zip(
+        np.asarray(cf_tbl.column("term").to_pylist(), dtype=object)[keep],
+        cf_all[keep],
+    ))
     model_ref = ray.put((cf, total))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -239,8 +257,10 @@ def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
                                 batch.column("text").to_pylist()):
             toks = tokenize(text)
             if toks:
-                freqs = np.fromiter((model[t] for t in toks),
-                                    dtype=np.float64, count=len(toks))
+                freqs = np.fromiter(
+                    (model.get(t, UNIGRAM_OOV_CF) for t in toks),
+                    dtype=np.float64, count=len(toks),
+                )
                 ll = float(np.log(freqs / tot).sum())
             else:
                 ll = 0.0
