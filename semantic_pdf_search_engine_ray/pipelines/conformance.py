@@ -311,13 +311,15 @@ def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
 
 
 def q_bm25_sharded(sf_dir: str) -> pa.Table:
-    """BM25 top-k through the doc-range-sharded layout (4 shards, global
-    stats baked into each shard's block metadata; driver-side k-way
-    merge). Same SQL oracle as bm25_topk — the sharded engine must be
-    value-identical to the monolithic one."""
+    """BM25 top-k through the doc-range-sharded layout (4 shards) via the
+    shard-OWNING actor tier: 2 owner actors each load only their
+    ``i % 2`` shard subset, every query visits every owner, the driver
+    k-way merges the partials. Same SQL oracle as bm25_topk — the
+    multi-node query shape must be value-identical to the monolithic
+    engine."""
     from semantic_pdf_search_engine_ray.pipelines.sharding import (
-        ShardedQueryActor,
         build_sharded_index,
+        run_sharded_queries_owned,
     )
 
     root = f"/tmp/spse_ray_sharded_{_sf_cache_key(sf_dir)}"
@@ -327,13 +329,10 @@ def q_bm25_sharded(sf_dir: str) -> pa.Table:
             input_lineage={"sf_dir": os.path.abspath(sf_dir)},
         )
     queries = derive_query_table(ensure_index(sf_dir))
-    res_ds = rd.from_arrow(queries).map_batches(
-        ShardedQueryActor,
-        fn_constructor_args=(root, TOP_K),
-        batch_format="pyarrow",
-        concurrency=2,
+    res = _round_col(
+        run_sharded_queries_owned(root, queries, k=TOP_K, n_owners=2),
+        "score",
     )
-    res = _round_col(_collect(res_ds), "score")
     return res.rename_columns(
         ["query_id", "rank", "doc_id", "score_r"]
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])

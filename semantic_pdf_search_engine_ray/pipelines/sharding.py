@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from semantic_pdf_search_engine_ray.config import EngineConfig
@@ -232,7 +233,7 @@ class ShardedReader:
     doc_id ASC). In production each reader is one actor on the node
     owning its shard; here they live in-process."""
 
-    def __init__(self, root_dir: str):
+    def __init__(self, root_dir: str, shard_names: list[str] | None = None):
         from semantic_pdf_search_engine_ray.stages.query import IndexReader
 
         m = mf.load_manifest(root_dir)
@@ -241,8 +242,15 @@ class ShardedReader:
         d = pq.read_table(os.path.join(root_dir, "dictionary"))
         df_g = dict(zip(d.column("term").to_pylist(),
                         d.column("df").to_numpy()))
+        if shard_names is None:
+            shard_names = list(m["shards"])
+        else:
+            unknown = set(shard_names) - set(m["shards"])
+            if unknown:
+                raise ValueError(f"unknown shards {sorted(unknown)}")
+        self.shard_names = list(shard_names)
         self.readers = []
-        for name in m["shards"]:
+        for name in shard_names:
             r = IndexReader(os.path.join(root_dir, name))
             # override local stats with the global ones: weights and tfn
             # become shard-location-independent
@@ -269,9 +277,11 @@ class ShardedReader:
 
 class ShardedQueryActor:
     """Actor-pool stage over a sharded index (same batch contract as
-    stages.query.QueryActor). In a multi-node deployment each actor would
-    own a subset of shards co-located with it; locally each actor holds
-    all shard readers."""
+    stages.query.QueryActor). Each actor holds ALL shard readers, so the
+    query stream partitions across actors — the right shape when the
+    whole index fits one node. For the multi-node shape (each actor owns
+    a shard subset, every query visits every owner) use
+    run_sharded_queries_owned."""
 
     def __init__(self, root_dir: str, k: int = 5):
         self.reader = ShardedReader(root_dir)
@@ -283,3 +293,93 @@ class ShardedQueryActor:
         )
 
         return score_query_batch(batch, self.reader.top_k, self.k)
+
+
+@ray.remote
+class ShardOwnerActor:
+    """One member of the shard-OWNING query tier: actor ``owner_idx`` of
+    ``n_owners`` loads only shards ``i % n_owners == owner_idx`` — the
+    executed form of the multi-node story (on a 256-node cluster each
+    owner is scheduled on the node holding its shards; per-actor memory
+    is the shard subset, not the whole index)."""
+
+    def __init__(self, root_dir: str, owner_idx: int, n_owners: int):
+        m = mf.load_manifest(root_dir)
+        mine = [s for i, s in enumerate(m["shards"])
+                if i % n_owners == owner_idx]
+        self.reader = ShardedReader(root_dir, shard_names=mine) if mine \
+            else None
+
+    def partials(self, queries: pa.Table, k: int) -> pa.Table:
+        """Per-query top-k over OWNED shards only: (query_id, doc_id,
+        score) partial rows. The global top-k is a subset of the union of
+        per-owner top-ks, so k rows per owner per query always suffice."""
+        qids: list[int] = []
+        docs: list[int] = []
+        scores: list[float] = []
+        if self.reader is not None:
+            for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                                  queries.column("query").to_pylist()):
+                for doc_id, score in self.reader.top_k(qtext, k):
+                    qids.append(qid)
+                    docs.append(doc_id)
+                    scores.append(score)
+        return pa.table(
+            {"query_id": pa.array(qids, type=pa.int64()),
+             "doc_id": pa.array(docs, type=pa.int64()),
+             "score": pa.array(scores, type=pa.float64())}
+        )
+
+
+def run_sharded_queries_owned(
+    root_dir: str,
+    queries: pa.Table,
+    k: int = 5,
+    n_owners: int = 2,
+) -> pa.Table:
+    """Multi-node query tier, executed: ``n_owners`` shard-owning actors
+    score every query over their own shard subset CONCURRENTLY; the
+    driver k-way merges the per-owner partials (k x n_owners rows per
+    query — tiny) with the pinned tie rule (score DESC, doc_id ASC).
+    Results are bit-identical to the monolithic/all-shards path because
+    every shard scores with the global (N, avgdl, df).
+
+    Raw actors rather than map_batches because the semantics are
+    broadcast-to-all-owners (every query must visit every owner), which a
+    row-partitioning Dataset stage cannot express. At real query volume
+    the table ships once per owner via the object store; stream batches
+    through the same actors for an unbounded query feed."""
+    owners = [
+        ShardOwnerActor.remote(root_dir, i, n_owners)
+        for i in range(n_owners)
+    ]
+    parts = ray.get([o.partials.remote(queries, k) for o in owners])
+    for o in owners:
+        ray.kill(o)
+    heaps: dict[int, list] = {}
+    for p in parts:
+        for qid, doc, score in zip(p.column("query_id").to_pylist(),
+                                   p.column("doc_id").to_pylist(),
+                                   p.column("score").to_pylist()):
+            h = heaps.setdefault(qid, [])
+            item = (score, -doc)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid in queries.column("query_id").to_pylist():
+        if qid not in heaps:
+            continue
+        top = sorted(heaps.pop(qid), key=lambda x: (-x[0], -x[1]))
+        for rank, (score, ndoc) in enumerate(top, start=1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(-ndoc)
+            scores.append(score)
+    return pa.table(
+        {"query_id": pa.array(qids, type=pa.int64()),
+         "rank": pa.array(ranks, type=pa.int64()),
+         "doc_id": pa.array(docs, type=pa.int64()),
+         "score": pa.array(scores, type=pa.float64())}
+    )

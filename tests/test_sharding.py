@@ -265,3 +265,38 @@ def test_proximity_slop_semantics(ray_session, tmp_path_factory):
     assert r.proximity_top_k("alpha", "beta", 0, 5) == [(0, 1)]
     assert r.proximity_top_k("alpha", "beta", 2, 5) == [(0, 1), (1, 1)]
     assert r.proximity_top_k("alpha", "missing", 2, 5) == []
+
+
+def test_shard_owning_actor_tier_matches_mono(both_indexes):
+    """The EXECUTED multi-node query shape: owner actor i loads only
+    shards i mod P; every query visits every owner; driver k-way merge.
+    Must be bit-identical to the monolithic reader at every owner count
+    (1 = one node owns all, 3 = uneven split across 4 shards)."""
+    import pyarrow as pa
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        run_sharded_queries_owned,
+    )
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    mono, root, _m = both_indexes
+    reader = IndexReader(mono)
+    qtexts = sorted(reader.df, key=lambda t: (-reader.df[t], t))[:6]
+    qtexts.append(f"{qtexts[0]} {qtexts[1]}")
+    queries = pa.table({
+        "query_id": pa.array(range(len(qtexts)), type=pa.int64()),
+        "query": pa.array(qtexts),
+    })
+    want = {}
+    for qid, q in enumerate(qtexts):
+        want[qid] = reader.top_k_auto(q, 5)
+    for n_owners in (1, 3):
+        got = run_sharded_queries_owned(root, queries, k=5,
+                                        n_owners=n_owners)
+        by_q: dict[int, list] = {}
+        for qid, doc, score in zip(got.column("query_id").to_pylist(),
+                                   got.column("doc_id").to_pylist(),
+                                   got.column("score").to_pylist()):
+            by_q.setdefault(qid, []).append((doc, score))
+        for qid in want:
+            assert by_q.get(qid, []) == want[qid], (n_owners, qid)
