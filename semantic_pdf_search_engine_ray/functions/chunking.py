@@ -10,10 +10,12 @@ Fidelity notes (deliberate, documented):
 - ``smart_chunk_text`` reproduces the reference's missing space after an
   overlap carry (chunk.rs:542-551: the carried 2-sentence join gets the
   next sentence appended with no separator) — it is part of the spec.
-- The production path C1 uses a third-party 500-char TextSplitter
-  (chunk.rs:34); our production chunker is C5 at chunk_size=500, the
-  reference's own in-repo splitter, behind the same stage interface
-  (SURVEY.md §2.8 swappable-chunker contract).
+- The production path C1 uses the text-splitter crate's 500-char
+  semantic splitter (chunk.rs:34); ``chunk_document`` implements that
+  crate's published break-priority algorithm (functions/splitter.py)
+  with the same UAX#29 sentence rules, behind the same stage interface
+  (SURVEY.md §2.8 swappable-chunker contract). C5 remains the in-repo
+  overlap chunker the reference also ships.
 """
 
 from __future__ import annotations
@@ -98,16 +100,18 @@ def smart_chunk_text(
     return chunks
 
 
-def chunk_document(
-    text: str, chunk_size: int = 500, remove_headers: bool = False
-) -> list[str]:
-    """The production chunker (C1 semantics via the in-repo C5 splitter):
-    chunk then keep only M5-valid chunks (chunk.rs:41-47 filter)."""
-    return [
-        c
-        for c in smart_chunk_text(text, chunk_size, remove_headers)
-        if is_valid_chunk(c)
-    ]
+def chunk_document(text: str, chunk_size: int = 500) -> list[str]:
+    """The production chunker C1 (chunk.rs:34-47): the crate's
+    ``TextSplitter::new(500)`` break-priority algorithm
+    (functions/splitter.py — same published algorithm, same UAX#29
+    sentence rules) over the raw extracted text, then the M5
+    ``is_valid_chunk`` filter, exactly the reference's chunk pipeline."""
+    from semantic_pdf_search_engine_ray.functions.splitter import (
+        semantic_chunks,
+    )
+
+    return [c for c in semantic_chunks(text, chunk_size)
+            if is_valid_chunk(c)]
 
 
 def chunk_per_page(text: str) -> list[str]:

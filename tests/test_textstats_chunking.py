@@ -142,3 +142,66 @@ def test_header_heuristic_uses_byte_length():
 def test_looks_like_code():
     assert looks_like_code("function f() { return x => x; }")
     assert not looks_like_code("plain prose without indicators")
+
+
+def test_semantic_chunks_break_priority():
+    """C1 splitter (TextSplitter::new semantics): prefers paragraph
+    breaks, then sentence breaks, then words; chunks trimmed and within
+    capacity."""
+    from semantic_pdf_search_engine_ray.functions.splitter import (
+        semantic_chunks,
+    )
+
+    para1 = "First paragraph sentence one. And sentence two here."
+    para2 = "Second paragraph follows after a blank line. More text."
+    text = f"{para1}\n\n{para2}"
+    # both paragraphs fit separately but not together -> paragraph break
+    cap = max(len(para1), len(para2)) + 5
+    assert semantic_chunks(text, cap) == [para1, para2]
+    # whole text fits -> one chunk (trimmed, newlines preserved inside)
+    assert semantic_chunks(text, len(text)) == [text]
+    # force sentence-level splitting inside a paragraph
+    s1, s2 = "Alpha beta gamma delta. ", "Epsilon zeta eta theta."
+    got = semantic_chunks(s1 + s2, max(len(s1), len(s2)) + 1)
+    assert got == [s1.strip(), s2.strip()]
+    # a single overlong sentence falls back to word boundaries
+    words = "word " * 30
+    for c in semantic_chunks(words, 24):
+        assert len(c) <= 24
+        assert not c.startswith(" ") and not c.endswith(" ")
+        assert all(w == "word" for w in c.split())
+    # reconstruction: non-whitespace content is preserved in order
+    joined = "".join(semantic_chunks(text, 30))
+    assert joined.replace(" ", "").replace("\n", "") == \
+        text.replace(" ", "").replace("\n", "")
+
+
+def test_semantic_chunks_abbreviation_not_split():
+    from semantic_pdf_search_engine_ray.functions.splitter import (
+        semantic_chunks,
+    )
+
+    text = ("The metric improved by 3.14 percent overall, e.g. when the "
+            "cache was warm during the run. A second sentence follows "
+            "and it is fairly long too for the test.")
+    got = semantic_chunks(text, 120)
+    # the decimal and "e.g." must not open a chunk boundary
+    assert not any(c.startswith(("14 ", "g. ", "when")) for c in got)
+    assert got[0].endswith("run.")
+
+
+def test_chunk_document_is_splitter_plus_validity():
+    from semantic_pdf_search_engine_ray.functions.chunking import (
+        chunk_document,
+        is_valid_chunk,
+    )
+    from semantic_pdf_search_engine_ray.functions.splitter import (
+        semantic_chunks,
+    )
+
+    text = ("A realistic paragraph with plenty of prose inside it that "
+            "keeps going for a while so the validity filter passes. " * 8)
+    got = chunk_document(text, 500)
+    assert got == [c for c in semantic_chunks(text, 500)
+                   if is_valid_chunk(c)]
+    assert got and all(len(c) <= 500 for c in got)
