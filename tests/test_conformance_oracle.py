@@ -69,3 +69,43 @@ def test_query_matches_sql_oracle(ray_session, name):
         a, b = mine[c], ref[c]
         eq = (a == b) | (a.isna() & b.isna())
         assert eq.all(), f"{name}.{c}: {int((~eq).sum())} mismatches"
+
+
+def test_bm25_chunks_matches_python_oracle(ray_session):
+    """VERDICT r1 #10: the chunk-granularity index (rows-only in the
+    driver — the chunker is not SQL-expressible) gets a pure-Python
+    oracle here: OracleIndex over the SAME chunked corpus must produce
+    bit-identical (chunk_uid, score) rankings."""
+    from semantic_pdf_search_engine_ray.functions.chunking import (
+        chunk_document,
+    )
+    from semantic_pdf_search_engine_ray.oracle import OracleIndex
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = cf.QUERIES["bm25_chunks_topk"](sf_dir)
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(cf.documents_path(sf_dir),
+                         columns=["doc_id", "text"])
+    chunk_docs = []
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        for ci, c in enumerate(chunk_document(text)):
+            chunk_docs.append((doc_id * cf.CHUNK_UID_STRIDE + ci, c))
+    oracle = OracleIndex(chunk_docs, cf.CFG)
+    queries = cf.derive_query_table(cf.ensure_index(sf_dir))
+
+    by_q: dict[int, list] = {}
+    for qid, uid, score in zip(got.column("query_id").to_pylist(),
+                               got.column("chunk_uid").to_pylist(),
+                               got.column("score").to_pylist()):
+        by_q.setdefault(qid, []).append((uid, score))
+    assert by_q, "chunk retrieval returned nothing"
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        want = [(d, round(s, 6)) for d, s in
+                oracle.score_query(qtext, cf.TOP_K)]
+        have = [(d, round(s, 6)) for d, s in by_q.get(qid, [])]
+        assert have == want, f"chunk-index mismatch on q{qid}: {qtext!r}"
