@@ -189,7 +189,8 @@ def run_bench() -> dict:
         extras["query_p95_ms"] = round(lats[int(len(lats) * 0.95)], 3)
 
     # -- operator sweep over the sf tables ---------------------------------
-    for name in ("dedup_minhash_lsh", "dedup_exact", "ann_brute_topk",
+    for name in ("dedup_minhash_lsh", "dedup_exact", "dedup_simhash",
+                 "ann_brute_topk", "ann_ivf_topk",
                  "events_window", "quality", "lang_id"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()

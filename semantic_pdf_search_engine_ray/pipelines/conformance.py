@@ -603,6 +603,28 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
                         ("event_type", "ascending")])
 
 
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30 min inactivity): one user_id hash
+    shuffle, per-user vectorized split (pipelines/windows.sessionize)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["user_id", "ts", "value"])
+    out = _collect(win.sessionize(events, gap_s=1800))
+    return out.sort_by([("user_id", "ascending"),
+                        ("session_id", "ascending")])
+
+
+def q_dup_components(sf_dir: str) -> pa.Table:
+    """Near-dup connected components via distributed min-label
+    propagation (join + groupby per round until fixpoint)."""
+    return dd.dup_components(documents_path(sf_dir), n=JACCARD_N,
+                             threshold=JACCARD_THRESHOLD)
+
+
+def q_regex_features(sf_dir: str) -> rd.Dataset:
+    """PII-surface regex counts (emails / urls / long digit runs)."""
+    return ts.regex_features(read_docs(sf_dir))
+
+
 def _top3_group(group: pa.Table) -> pa.Table:
     order = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
     top = order.slice(0, 3)
@@ -974,6 +996,79 @@ SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
+_SQL_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id,
+         (epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+           // 1000000 AS e,
+         value
+  FROM events
+),
+lagged AS (
+  SELECT user_id, e, value,
+         CASE WHEN e - lag(e) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY e)
+),
+sess AS (
+  SELECT user_id, e, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY e
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value,
+       min(e)::BIGINT AS t_start, max(e)::BIGINT AS t_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+# components of the near-dup pair graph: label = min reachable doc_id
+# (recursive reachability; the engine side is iterative distributed
+# min-label propagation — same fixpoint)
+_SQL_DUP_COMPONENTS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - {JACCARD_N - 1}),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+prs AS (
+  SELECT ia, ib FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE inter * 1.0 / (sa.c + sb.c - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT ia AS u, ib AS v FROM prs
+          UNION ALL SELECT ib, ia FROM prs),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS component_id
+FROM reach GROUP BY node
+"""
+
+_SQL_REGEX_FEATURES = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{ts.EMAIL_PATTERN}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{ts.URL_PATTERN}'))::BIGINT AS n_urls,
+       len(regexp_extract_all(text, '{ts.LONG_DIGIT_RUN_PATTERN}'))::BIGINT
+         AS n_long_digit_runs,
+       (len(regexp_extract_all(text, '{ts.EMAIL_PATTERN}')) > 0
+        OR len(regexp_extract_all(text, '{ts.LONG_DIGIT_RUN_PATTERN}')) > 0)
+         AS has_pii
+FROM documents
+"""
+
 _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies
@@ -1161,6 +1256,9 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_pruned": q_ann_ivf_pruned,
     "events_window": q_events_window,
+    "events_sessionize": q_sessionize,
+    "dedup_components": q_dup_components,
+    "regex_features": q_regex_features,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -1200,6 +1298,9 @@ ORACLE_SQL = {
     "ann_ivf_topk": _SQL_ANN_BRUTE,
     "events_window": _SQL_EVENTS_WINDOW,
     "events_sliding": _SQL_EVENTS_SLIDING,
+    "events_sessionize": _SQL_SESSIONIZE,
+    "dedup_components": _SQL_DUP_COMPONENTS,
+    "regex_features": _SQL_REGEX_FEATURES,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,

@@ -668,6 +668,79 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# near-dup connected components (cluster view of the pair graph)
+# --------------------------------------------------------------------------
+
+def dup_components(
+    docs_path: str | list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    max_iters: int = 32,
+) -> pa.Table:
+    """Connected components over the near-dup pair graph: (doc_id,
+    component_id) for every doc incident to at least one pair, where
+    component_id = the smallest doc_id reachable through pairs — the
+    cluster view a training-data pipeline dedups against (keep one doc
+    per component instead of reasoning about pairwise removals).
+
+    Distributed iterative min-label propagation on Ray Datasets: each
+    round joins the edge list against the current labels (hash join,
+    ``num_partitions``-way) and takes a per-node min — labels only
+    decrease, so comparing the label-sum between rounds is an exact
+    fixpoint test. Rounds needed = graph diameter (near-dup clusters are
+    star-like and shallow in practice). Everything stays a Dataset; no
+    driver-side graph is built. SQL oracle: recursive CTE reachability.
+    """
+    from ray.data.aggregate import Min as AggMin, Sum as AggSum
+
+    pairs = minhash_lsh_pairs(docs_path, n=n, threshold=threshold)
+    if pairs.num_rows == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("component_id", pa.int64())]
+        ).empty_table()
+    a = pairs.column("doc_id_a")
+    b = pairs.column("doc_id_b")
+    edges = rd.from_arrow(pa.table({
+        "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+        "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+    }))
+    labels = edges.groupby("node").aggregate(AggMin("nbr")).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "label": pa.compute.min_element_wise(
+                t.column("node"), t.column("min(nbr)")),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        # message: every edge forwards its neighbor's current label
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("nbr",), right_on=("node",), right_suffix="_r",
+        ).select_columns(["node", "label"])
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(AggMin("label", alias_name="label"))
+            .materialize()
+        )
+        agg = labels.aggregate(AggSum("label")) or {}
+        cur_sum = agg.get("sum(label)")
+        if cur_sum == prev_sum:
+            break  # labels only decrease; equal sum == fixpoint
+        prev_sum = cur_sum
+    out = _to_table(
+        labels,
+        pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    return out.rename_columns(["doc_id", "component_id"]).sort_by(
+        [("doc_id", "ascending")]
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

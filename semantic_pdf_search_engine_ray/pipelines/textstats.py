@@ -39,6 +39,12 @@ NUMBER_RUN_PATTERN = "[0-9]+"
 PUNCT_CHAR_PATTERN = "[^A-Za-z0-9 \\t\\n\\r]"
 WS_RUN_PATTERN = "[ \\t\\n\\r]+"
 
+# PII-ish surface features a training-data pipeline masks or filters on
+# (RE2, ASCII classes — identical bytes on both engines).
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+URL_PATTERN = "https?://[^ \\t\\n\\r]+"
+LONG_DIGIT_RUN_PATTERN = "[0-9]{7,}"
+
 # Tiny pinned stopword lists (module constants = part of the operator
 # contract; the SQL oracle embeds the same lists).
 STOPWORDS = {
@@ -274,6 +280,30 @@ def unigram_logprob(docs: rd.Dataset, min_count: int = 2) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def regex_features_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_emails, n_urls, n_long_digit_runs, has_pii) — the
+    PII-surface counts a filtering/masking stage keys on; fully
+    vectorized (count_substring_regex, no row loop)."""
+    text = batch.column("text")
+    n_email = pc.count_substring_regex(text, EMAIL_PATTERN).cast(pa.int64())
+    n_url = pc.count_substring_regex(text, URL_PATTERN).cast(pa.int64())
+    n_dig = pc.count_substring_regex(
+        text, LONG_DIGIT_RUN_PATTERN
+    ).cast(pa.int64())
+    has = pc.or_(pc.greater(n_email, 0), pc.greater(n_dig, 0))
+    return pa.table(
+        {"doc_id": batch.column("doc_id").cast(pa.int64()),
+         "n_emails": n_email,
+         "n_urls": n_url,
+         "n_long_digit_runs": n_dig,
+         "has_pii": has}
+    )
+
+
+def regex_features(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(regex_features_batch, batch_format="pyarrow")
 
 
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:

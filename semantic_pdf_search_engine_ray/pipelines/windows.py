@@ -100,6 +100,67 @@ def sliding_agg(
     )
 
 
+def sessionize(
+    events: rd.Dataset,
+    gap_s: int = 1800,
+) -> rd.Dataset:
+    """Gap-based session assignment — the classic event-stream operator
+    (a session ends after ``gap_s`` seconds of user inactivity).
+
+    Ray-Data-first shape: ONE hash shuffle on user_id
+    (``groupby().map_groups``), then each group is sorted and split
+    locally with vectorized numpy (diff > gap). user_id is a uniform
+    key; per-user event counts are human-bounded, so groups never
+    explode — the same partitioning assumption every sessionizer makes.
+    Output: one row per session
+    (user_id, session_id, n_events, sum_value, t_start, t_end) with
+    session_id numbered 0.. per user in time order and int64-second
+    bounds (comparable across engines, like the window ops).
+    """
+
+    def split_user(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch = _epoch_seconds(group.column("ts")).to_numpy(
+            zero_copy_only=False
+        )
+        value = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.argsort(epoch, kind="stable")
+        epoch = epoch[order]
+        value = value[order]
+        # new session where the gap STRICTLY exceeds gap_s (pinned; the
+        # SQL oracle uses the same > comparison)
+        new_sess = np.zeros(len(epoch), dtype=np.int64)
+        if len(epoch) > 1:
+            new_sess[1:] = (np.diff(epoch) > gap_s).astype(np.int64)
+        sess = np.cumsum(new_sess)
+        n_sessions = int(sess[-1]) + 1 if len(sess) else 0
+        uid = group.column("user_id")[0].as_py()
+        out_n = np.bincount(sess, minlength=n_sessions)
+        out_sum = np.bincount(sess, weights=value, minlength=n_sessions)
+        starts = np.zeros(n_sessions, dtype=np.int64)
+        ends = np.zeros(n_sessions, dtype=np.int64)
+        first = np.searchsorted(sess, np.arange(n_sessions), side="left")
+        last = np.searchsorted(sess, np.arange(n_sessions), side="right") - 1
+        starts = epoch[first]
+        ends = epoch[last]
+        return pa.table(
+            {"user_id": pa.array([uid] * n_sessions, type=pa.int64()),
+             "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+             "n_events": pa.array(out_n.astype(np.int64)),
+             "sum_value": pa.array(
+                 [round(float(x), 6) for x in out_sum], type=pa.float64()),
+             "t_start": pa.array(starts),
+             "t_end": pa.array(ends)}
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(split_user, batch_format="pyarrow")
+    )
+
+
 def tumbling_agg(
     events: rd.Dataset, unit: str = "hour", key: str = "event_type"
 ) -> rd.Dataset:

@@ -24,7 +24,12 @@ SUBSET = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "dedup_simhash",
+    "dedup_components",
     "events_window",
+    "events_sessionize",
+    "regex_features",
     "quality",
     "unigram_logprob",
     "multimodal_decode",
