@@ -10,9 +10,11 @@ The driver initialises Ray BEFORE importing this module; nothing here
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator
   (SURVEY.md §2 inventory + training-data additions), paired with DuckDB
   SQL computing the same table over the same parquet views. Entries
-  without SQL (fuzzy highlights, chunker, simhash, approximate IVF,
-  winnowing) get the driver's rows-only check; the exact variants of
-  those families DO carry oracles.
+  without SQL (fuzzy highlights, chunker outputs, winnowing, pruned-probe
+  IVF) get the driver's rows-only check; the exact variants of those
+  families DO carry oracles — r2 upgraded simhash (full signature
+  recomputation via md5_number_lower), full-probe IVF (== brute SQL) and
+  chunk retrieval (pure-Python OracleIndex in pytest) from rows-only.
 """
 
 from __future__ import annotations

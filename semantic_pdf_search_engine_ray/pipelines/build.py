@@ -91,6 +91,18 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
     Exact-dedup semantics the reference lacks (re-upload double-indexes
     under a fresh uuid, `qdrant.rs:48`) — SURVEY.md §2.6 A5. Input
     contract: (url, warc_ts) pairs unique.
+
+    Scale note: this is the build's ONE all-to-all (a global url sort)
+    and its ``materialize()`` pins the extracted corpus in the object
+    store — acceptable for per-shard builds (the sharded path builds
+    each shard independently, so the sort never spans the whole corpus)
+    but not for a single 10^12-doc monolith. The monolith design is
+    sampled-boundary rank assignment: sample ~100k urls, pick P-1
+    boundary urls, hash-partition rows into those url ranges, sort each
+    range locally, count kept docs per range, prefix-sum the P counts on
+    the driver (tiny) and assign ranks range-locally — same determinism,
+    no global materialize. Not built here because every consumer routes
+    through the sharded layout first.
     """
     sorted_ds = extracted.sort(["url", "warc_ts"]).materialize()
 

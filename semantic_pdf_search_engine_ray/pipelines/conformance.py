@@ -625,6 +625,30 @@ def q_regex_features(sf_dir: str) -> rd.Dataset:
     return ts.regex_features(read_docs(sf_dir))
 
 
+def q_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Per-doc top-3 tf-idf terms (map-side tf, df groupby, term-keyed
+    hash join, per-doc top-k)."""
+    return ts.tfidf_top_terms(read_docs(sf_dir), k=3)
+
+
+def q_collocations_pmi(sf_dir: str) -> pa.Table:
+    """Top-20 bigram collocations by PMI (min count 5); marginals joined,
+    not broadcast."""
+    return ts.collocations_pmi(read_docs(sf_dir), min_count=5, k=20)
+
+
+def q_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic 10% hash sample (partition/parallelism/rerun
+    invariant; selection recomputable in SQL via md5_number_lower)."""
+    from semantic_pdf_search_engine_ray.pipelines.sampling import (
+        deterministic_sample,
+    )
+
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["doc_id", "lang"])
+    return deterministic_sample(docs, rate_pct=10, key_col="doc_id")
+
+
 def _top3_group(group: pa.Table) -> pa.Table:
     order = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
     top = order.slice(0, 3)
@@ -1069,6 +1093,65 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_TFIDF_TOP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf_raw
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, term, tf, df,
+       round(tfidf_raw, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+_SQL_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+uni AS (SELECT unnest(ts) AS term FROM toks),
+ucnt AS (SELECT term, count(*)::BIGINT AS c FROM uni GROUP BY term),
+ut AS (SELECT count(*)::BIGINT AS t FROM uni),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM toks
+),
+bcnt AS (SELECT bigram, count(*)::BIGINT AS c_xy FROM big GROUP BY bigram
+         HAVING count(*) >= 5),
+bt AS (SELECT count(*)::BIGINT AS t FROM big),
+scored AS (
+  SELECT b.bigram, b.c_xy,
+         ln((b.c_xy * 1.0 * ut.t * ut.t) / (bt.t * u1.c * u2.c)) AS pmi_raw
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.term = string_split(b.bigram, ' ')[1]
+  JOIN ucnt u2 ON u2.term = string_split(b.bigram, ' ')[2]
+  CROSS JOIN ut CROSS JOIN bt
+)
+SELECT bigram, c_xy, round(pmi_raw, 6) AS pmi,
+       row_number() OVER (ORDER BY pmi_raw DESC, bigram ASC)::BIGINT AS rank
+FROM scored
+ORDER BY pmi_raw DESC, bigram ASC
+LIMIT 20
+"""
+
+_SQL_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10
+"""
+
 _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies
@@ -1259,6 +1342,9 @@ QUERIES = {
     "events_sessionize": q_sessionize,
     "dedup_components": q_dup_components,
     "regex_features": q_regex_features,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "collocations_pmi": q_collocations_pmi,
+    "sample_10pct": q_sample,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -1301,6 +1387,9 @@ ORACLE_SQL = {
     "events_sessionize": _SQL_SESSIONIZE,
     "dedup_components": _SQL_DUP_COMPONENTS,
     "regex_features": _SQL_REGEX_FEATURES,
+    "tfidf_top_terms": _SQL_TFIDF_TOP,
+    "collocations_pmi": _SQL_COLLOCATIONS,
+    "sample_10pct": _SQL_SAMPLE,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,

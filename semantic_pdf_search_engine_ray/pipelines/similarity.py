@@ -15,9 +15,11 @@ merge shape as the BM25 query path, stages/query.py).
                       nprobe is the recall/throughput knob at scale.
 
 Scale notes: brute force is O(corpus x queries) but embarrassingly
-parallel and branch-free — at 100 TB the IVF cell assignment becomes a
-partitioning key (one parquet dir per cell) so a query touches only
-nprobe/n_cells of the data at the read.
+parallel and branch-free. The IVF path MATERIALIZES the cell assignment
+as the physical partitioning key (build_ivf_index writes one parquet dir
+per cell); a query reads only its probed cells' directories, so
+unprobed bytes never leave storage — verified by the scan_stats pruning
+test.
 """
 
 from __future__ import annotations

@@ -306,6 +306,175 @@ def regex_features(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(regex_features_batch, batch_format="pyarrow")
 
 
+def _doc_term_tf(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows — computed map-side (a document's term
+    frequencies never need a shuffle)."""
+    ids: list[int] = []
+    terms: list[str] = []
+    tfs: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        toks = tokenize(text)
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        ids.extend([doc_id] * len(uniq))
+        terms.extend(uniq.tolist())
+        tfs.extend(int(c) for c in counts)
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "term": pa.array(terms, type=pa.string()),
+         "tf": pa.array(tfs, type=pa.int64())}
+    )
+
+
+def tfidf_top_terms(
+    docs: rd.Dataset, k: int = 3, num_partitions: int = 8
+) -> rd.Dataset:
+    """Per-doc top-k terms by tf-idf (tf * ln(N/df)) — the corpus-keyword
+    operator of a training-data pipeline.
+
+    Fully distributed: map-side (doc_id, term, tf) rows, a term-keyed
+    groupby for df, a hash JOIN of term rows against the df table (the
+    df side is corpus-vocabulary-sized — too big to broadcast at web
+    scale, exactly what Dataset.join exists for), then a per-doc
+    groupby top-k. Ties pinned (tfidf DESC, term ASC).
+    """
+    from ray.data.aggregate import Count
+
+    n_docs = docs.count()
+    term_rows = docs.map_batches(
+        _doc_term_tf, batch_format="pyarrow"
+    ).materialize()
+    df_tbl = term_rows.groupby("term").aggregate(Count(alias_name="df"))
+    joined = term_rows.join(
+        df_tbl, join_type="inner", num_partitions=num_partitions,
+        on=("term",),
+    )
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        tf = group.column("tf").to_numpy().astype(np.float64)
+        df = group.column("df").to_numpy().astype(np.float64)
+        tfidf = tf * np.log(n_docs / df)
+        terms = group.column("term").to_pylist()
+        order = sorted(range(len(terms)),
+                       key=lambda i: (-tfidf[i], terms[i]))[:k]
+        return pa.table(
+            {"doc_id": group.column("doc_id").take(pa.array(order)),
+             "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+             "term": pa.array([terms[i] for i in order], type=pa.string()),
+             "tf": group.column("tf").take(pa.array(order)),
+             "df": group.column("df").take(pa.array(order)),
+             "tfidf": pa.array([_r6(float(tfidf[i])) for i in order],
+                               type=pa.float64())}
+        )
+
+    return joined.groupby("doc_id").map_groups(
+        topk_group, batch_format="pyarrow"
+    )
+
+
+def _bigram_rows(batch: pa.Table) -> pa.Table:
+    ids: list[str] = []
+    for text in batch.column("text").to_pylist():
+        toks = tokenize(text)
+        ids.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return pa.table({"bigram": pa.array(ids, type=pa.string())})
+
+
+def _unigram_rows(batch: pa.Table) -> pa.Table:
+    lower = pc.utf8_lower(batch.column("text"))
+    cleaned = pc.replace_substring_regex(lower, "[^a-z0-9]+", " ")
+    flat = pc.list_flatten(pc.split_pattern(cleaned, " "))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    return pa.table({"term": flat})
+
+
+def collocations_pmi(
+    docs: rd.Dataset, min_count: int = 5, k: int = 20,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi = ln( (c_xy / T_bigrams) / ((c_x / T_uni) * (c_y / T_uni)) ),
+    bigrams with c_xy < min_count dropped (MLE PMI is noise at low
+    counts). Ties pinned (pmi DESC, bigram ASC); pmi rounded 6 dp.
+
+    Distributed shape: map-side bigram/unigram emission, two count
+    groupbys, the (frequent-)bigram table hash-JOINED against the
+    unigram counts on each constituent word — the marginal table is
+    vocabulary-sized, so it is joined, not broadcast."""
+    from ray.data.aggregate import Count
+
+    big = docs.map_batches(_bigram_rows, batch_format="pyarrow")
+    uni = docs.map_batches(_unigram_rows, batch_format="pyarrow")
+    bcnt = big.groupby("bigram").aggregate(Count(alias_name="c_xy"))
+    ucnt = uni.groupby("term").aggregate(Count(alias_name="c")).materialize()
+    t_uni = int(uni.count())
+    t_big = int(big.count())
+
+    def frequent_and_split(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("c_xy"), min_count))
+        parts = pc.split_pattern(t.column("bigram"), " ")
+        return t.append_column(
+            "w1", pc.list_element(parts, 0)
+        ).append_column("w2", pc.list_element(parts, 1))
+
+    freq = bcnt.map_batches(frequent_and_split, batch_format="pyarrow")
+    j1 = freq.join(
+        ucnt, join_type="inner", num_partitions=num_partitions,
+        on=("w1",), right_on=("term",), right_suffix="_w1",
+    ).rename_columns({"c": "c_x"})
+    j2 = j1.join(
+        ucnt, join_type="inner", num_partitions=num_partitions,
+        on=("w2",), right_on=("term",), right_suffix="_w2",
+    ).rename_columns({"c": "c_y"})
+
+    def pmi_batch(t: pa.Table) -> pa.Table:
+        cxy = t.column("c_xy").to_numpy().astype(np.float64)
+        cx = t.column("c_x").to_numpy().astype(np.float64)
+        cy = t.column("c_y").to_numpy().astype(np.float64)
+        pmi = np.log((cxy * t_uni * t_uni) / (t_big * cx * cy))
+        return pa.table(
+            {"bigram": t.column("bigram"),
+             "c_xy": t.column("c_xy"),
+             "pmi": pa.array([_r6(float(x)) for x in pmi],
+                             type=pa.float64())}
+        )
+
+    import ray
+
+    scored_parts = [
+        p for p in ray.get(
+            j2.map_batches(pmi_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
+                        ("pmi", pa.float64())])
+    if not scored_parts:
+        return schema.empty_table()
+    scored = pa.concat_tables(
+        [p.select(schema.names).cast(schema) for p in scored_parts]
+    )
+    order = sorted(
+        range(scored.num_rows),
+        key=lambda i: (-scored.column("pmi")[i].as_py(),
+                       scored.column("bigram")[i].as_py()),
+    )[:k]
+    top = scored.take(pa.array(order))
+    return top.append_column(
+        "rank", pa.array(range(1, top.num_rows + 1), type=pa.int64())
+    )
+
+
+def _r6(x: float) -> float:
+    """DuckDB round() tie rule (half away from zero)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(doc_stats_batch, batch_format="pyarrow")
 
