@@ -30,6 +30,9 @@ SUBSET = [
     "events_window",
     "events_sessionize",
     "regex_features",
+    "tfidf_top_terms",
+    "collocations_pmi",
+    "sample_10pct",
     "quality",
     "unigram_logprob",
     "multimodal_decode",
