@@ -649,6 +649,54 @@ def q_sample(sf_dir: str) -> rd.Dataset:
     return deterministic_sample(docs, rate_pct=10, key_col="doc_id")
 
 
+def q_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Pinned-bin histogram with explicit map-side partial counts."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_type", "value"])
+    return win.value_histogram(events, width=5.0)
+
+
+def q_value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-type p50/p95/p99 (DuckDB quantile_disc convention)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_type", "value"])
+    return win.value_quantiles(events)
+
+
+def q_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSONL source path: the documents table is exported once to
+    newline-delimited JSON (cached) and read back with rd.read_json —
+    proves the non-parquet ingestion surface end-to-end (schema
+    inference, int64/utf8 fidelity). Oracle compares (doc_id, n_chars)
+    against the parquet view."""
+    out = f"/tmp/spse_ray_jsonl_{_sf_cache_key(sf_dir)}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        rd.read_parquet(
+            documents_path(sf_dir), columns=["doc_id", "text"]
+        ).write_json(out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    docs = rd.read_json([
+        os.path.join(out, f) for f in sorted(os.listdir(out))
+        if f.endswith(".json")
+    ])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "n_chars": pc.utf8_length(batch.column("text")).cast(
+                 pa.int64())}
+        )
+
+    return docs.map_batches(proj, batch_format="pyarrow")
+
+
 def _top3_group(group: pa.Table) -> pa.Table:
     order = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
     top = order.slice(0, 3)
@@ -1152,6 +1200,27 @@ SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10
 """
 
+_SQL_VALUE_HISTOGRAM = """
+SELECT event_type, floor(value / 5.0)::BIGINT AS bin,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type, 2
+"""
+
+_SQL_VALUE_QUANTILES = """
+SELECT event_type, 0.5::DOUBLE AS q, quantile_disc(value, 0.5) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.95::DOUBLE, quantile_disc(value, 0.95)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.99::DOUBLE, quantile_disc(value, 0.99)
+FROM events GROUP BY event_type
+"""
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
+"""
+
 _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies
@@ -1345,6 +1414,9 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "collocations_pmi": q_collocations_pmi,
     "sample_10pct": q_sample,
+    "value_histogram": q_value_histogram,
+    "value_quantiles": q_value_quantiles,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -1390,6 +1462,9 @@ ORACLE_SQL = {
     "tfidf_top_terms": _SQL_TFIDF_TOP,
     "collocations_pmi": _SQL_COLLOCATIONS,
     "sample_10pct": _SQL_SAMPLE,
+    "value_histogram": _SQL_VALUE_HISTOGRAM,
+    "value_quantiles": _SQL_VALUE_QUANTILES,
+    "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,

@@ -161,6 +161,75 @@ def sessionize(
     )
 
 
+def value_histogram(
+    events: rd.Dataset, width: float = 5.0, key: str = "event_type"
+) -> rd.Dataset:
+    """Per-(key, bin) histogram with PINNED bins (bin = floor(value /
+    width)) — no min/max pre-pass, so the bin spec is deterministic and
+    SQL-mirrorable. Map-side partial counting (an Arrow group_by inside
+    every batch) shrinks the shuffle to one row per (key, bin, block)
+    before the global hash aggregate — the explicit combiner pattern the
+    100 TB plan requires for high-cardinality histograms."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        bins = np.floor(vals / width).astype(np.int64)
+        t = pa.table({key: batch.column(key),
+                      "bin": pa.array(bins)})
+        return t.group_by([key, "bin"]).aggregate([([], "count_all")]) \
+            .rename_columns([key, "bin", "partial_n"])
+
+    return (
+        events.select_columns([key, "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "bin"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
+def value_quantiles(
+    events: rd.Dataset,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    key: str = "event_type",
+) -> rd.Dataset:
+    """Exact per-key quantiles, DuckDB ``quantile_disc`` convention
+    (sorted element at index ceil(q*n)-1 — verified against DuckDB 1.0).
+    One hash shuffle on the key; per-group numpy sort. Exactness is the
+    oracle contract; the approximate scale path for ungrouped/huge groups
+    is a mergeable sketch (t-digest/KLL) which cannot hash-match SQL and
+    is therefore deliberately not the conformance surface."""
+
+    def group_q(group: pa.Table) -> pa.Table:
+        import math
+
+        import numpy as np
+
+        vals = np.sort(group.column("value").to_numpy(
+            zero_copy_only=False))
+        n = len(vals)
+        k = group.column(key)[0].as_py()
+        out_q, out_v = [], []
+        for q in qs:
+            idx = max(int(math.ceil(q * n)) - 1, 0)
+            out_q.append(q)
+            # exact data element — bit-identical to SQL, no rounding
+            out_v.append(float(vals[idx]))
+        return pa.table(
+            {key: pa.array([k] * len(qs)),
+             "q": pa.array(out_q, type=pa.float64()),
+             "value": pa.array(out_v, type=pa.float64())}
+        )
+
+    return (
+        events.select_columns([key, "value"])
+        .groupby(key)
+        .map_groups(group_q, batch_format="pyarrow")
+    )
+
+
 def tumbling_agg(
     events: rd.Dataset, unit: str = "hour", key: str = "event_type"
 ) -> rd.Dataset:
