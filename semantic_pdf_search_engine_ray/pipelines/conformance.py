@@ -697,6 +697,52 @@ def q_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(proj, batch_format="pyarrow")
 
 
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Per-language deterministic sampling (rebalance: keep 20% en,
+    50% de, 100% fr, others dropped)."""
+    from semantic_pdf_search_engine_ray.pipelines.sampling import (
+        stratified_sample,
+    )
+
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["doc_id", "lang"])
+    return stratified_sample(
+        docs, {"en": 20, "de": 50, "fr": 100}, stratum_col="lang"
+    )
+
+
+def q_csv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """CSV source path: documents exported once to CSV (quoted
+    newlines/commas) and read back with rd.read_csv — the second
+    non-parquet ingestion surface. Oracle compares (doc_id, n_chars)."""
+    out = f"/tmp/spse_ray_csv_{_sf_cache_key(sf_dir)}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        rd.read_parquet(
+            documents_path(sf_dir), columns=["doc_id", "text"]
+        ).write_csv(out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    docs = rd.read_csv([
+        os.path.join(out, f) for f in sorted(os.listdir(out))
+        if f.endswith(".csv")
+    ])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "n_chars": pc.utf8_length(batch.column("text")).cast(
+                 pa.int64())}
+        )
+
+    return docs.map_batches(proj, batch_format="pyarrow")
+
+
 def _top3_group(group: pa.Table) -> pa.Table:
     order = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
     top = order.slice(0, 3)
@@ -1200,6 +1246,13 @@ SELECT doc_id, lang FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR) % 100 < 10
 """
 
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR) % 100 <
+      CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50
+                WHEN 'fr' THEN 100 ELSE 0 END
+"""
+
 _SQL_VALUE_HISTOGRAM = """
 SELECT event_type, floor(value / 5.0)::BIGINT AS bin,
        count(*)::BIGINT AS n
@@ -1417,6 +1470,8 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "value_quantiles": q_value_quantiles,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
+    "sample_stratified": q_stratified_sample,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -1465,6 +1520,8 @@ ORACLE_SQL = {
     "value_histogram": _SQL_VALUE_HISTOGRAM,
     "value_quantiles": _SQL_VALUE_QUANTILES,
     "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
+    "csv_roundtrip": _SQL_JSONL_ROUNDTRIP,
+    "sample_stratified": _SQL_STRATIFIED_SAMPLE,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,

@@ -42,3 +42,35 @@ def deterministic_sample(
         return batch.filter(pa.array(mask))
 
     return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(
+    docs: rd.Dataset,
+    rates_pct: dict[str, int],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "",
+) -> rd.Dataset:
+    """Per-stratum deterministic sampling (e.g. downsample English to
+    rebalance a multilingual corpus): each stratum gets its own keep
+    rate; selection stays a pure per-row hash function, so the subset is
+    partition/parallelism/rerun invariant and SQL-recomputable. Still a
+    pure map-side filter — the rate table is a tiny broadcast constant,
+    never a shuffle."""
+    for v in rates_pct.values():
+        if not 0 <= v <= 100:
+            raise ValueError("rates must be within [0, 100]")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        strata = batch.column(stratum_col).to_pylist()
+        mask = np.fromiter(
+            (md5_hash64(f"{salt}{k}") % 100
+             < rates_pct.get(s, default_pct)
+             for k, s in zip(keys, strata)),
+            dtype=bool, count=len(keys),
+        )
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
