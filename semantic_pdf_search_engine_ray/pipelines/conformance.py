@@ -49,7 +49,9 @@ from semantic_pdf_search_engine_ray.pipelines.search import (
 )
 from semantic_pdf_search_engine_ray.stages.multimodal import (
     ImageDecodeStage,
+    ImageStatsStage,
     attach_payload_batch,
+    attach_png_batch,
 )
 from semantic_pdf_search_engine_ray.state import manifest as mf
 
@@ -777,6 +779,24 @@ def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_image_decode(sf_dir: str) -> rd.Dataset:
+    """REAL image decode: a deterministic PNG is encoded per doc
+    (functions/png.py) and fully decoded back — chunk parse, zlib
+    inflate, scanline unfilter, all-sample mean — by the actor-pool
+    stage. The oracle recomputes dims/fill from the pinned generation
+    rule, so any decode bug hash-mismatches."""
+    return (
+        read_docs(sf_dir)
+        .map_batches(attach_png_batch, batch_format="pyarrow")
+        .map_batches(
+            ImageStatsStage,
+            batch_format="pyarrow",
+            batch_size=32,  # large payloads -> small batches (scale rule)
+            concurrency=(1, 4),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL oracles
 # --------------------------------------------------------------------------
@@ -1420,6 +1440,14 @@ SELECT source, rank, doc_id, n_chars FROM (
 ) WHERE rank <= 3
 """
 
+_SQL_IMAGE_DECODE = """
+SELECT doc_id, (doc_id % 21 + 4)::BIGINT AS width,
+       (doc_id % 13 + 4)::BIGINT AS height,
+       3::BIGINT AS channels,
+       ((doc_id * 7) % 256)::BIGINT AS mean_pixel
+FROM documents
+"""
+
 _SQL_MULTIMODAL = """
 SELECT doc_id,
        strlen(text)::BIGINT AS n_bytes,
@@ -1475,6 +1503,7 @@ QUERIES = {
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
+    "image_decode": q_image_decode,
 }
 
 ORACLE_SQL = {
@@ -1524,6 +1553,7 @@ ORACLE_SQL = {
     "sample_stratified": _SQL_STRATIFIED_SAMPLE,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
+    "image_decode": _SQL_IMAGE_DECODE,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

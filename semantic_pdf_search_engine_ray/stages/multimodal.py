@@ -8,12 +8,15 @@ library handle (`bin/app/pdf.rs:8-18` ``PDFIUM: OnceLock`` — the
 stateful-decoder-per-process pattern this module reproduces as an actor
 pool).
 
-The image/audio decode libraries are NOT in this container, so the
-decode kernel is a clearly-marked deterministic fake behind an
-import-try; everything Ray-side — schema contract, small batch sizing
-for large payloads, actor ``__init__`` holding decoder state, output
-layout — is real and tested. Swapping in PIL/ffmpeg touches only
-``_decode_real``.
+Decode paths, auto-selected per payload:
+- PNG payloads (signature-detected) decode REALLY via the pure-stdlib
+  codec in functions/png.py (chunk parse -> zlib inflate -> scanline
+  unfilter) — no imaging library required.
+- PIL, when present, handles the general formats (import-try).
+- Anything else falls back to the clearly-marked deterministic fake so
+  the Ray-side plumbing (schema contract, small batch sizing for large
+  payloads, actor ``__init__`` holding decoder state, output layout)
+  stays testable in any environment.
 """
 
 from __future__ import annotations
@@ -32,6 +35,61 @@ DECODED_SCHEMA = pa.schema(
         ("decoder", pa.string()),
     ]
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def attach_png_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, ...) -> (doc_id, payload): a REAL deterministic PNG per
+    doc (dims and fill pixel are pinned functions of doc_id, mirrored by
+    the SQL oracle), exercising the actual encode path."""
+    from semantic_pdf_search_engine_ray.functions.png import encode_png
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for d in ids:
+        w = d % 21 + 4
+        h = d % 13 + 4
+        fill = (d * 7) % 256
+        payloads.append(encode_png(w, h, bytes([fill]) * (w * h * 3)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+class ImageStatsStage:
+    """Actor-pool stage: (doc_id, payload) -> (doc_id, width, height,
+    channels, mean_pixel). Fully REAL: every payload is chunk-parsed,
+    zlib-inflated and scanline-unfiltered by functions/png.py; the mean
+    covers every decoded sample, so a decode bug cannot pass the
+    oracle."""
+
+    def __init__(self):
+        from semantic_pdf_search_engine_ray.functions.png import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ws, hs, chs, means = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            w, h, ch, pix = self._decode(p)
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            means.append(int(sum(pix) // len(pix)) if pix else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "channels": pa.array(chs, type=pa.int64()),
+                "mean_pixel": pa.array(means, type=pa.int64()),
+            }
+        )
 
 
 def attach_payload_batch(batch: pa.Table) -> pa.Table:
@@ -60,6 +118,9 @@ class ImageDecodeStage:
     """
 
     def __init__(self):
+        from semantic_pdf_search_engine_ray.functions.png import decode_png
+
+        self._decode_png = decode_png
         try:  # pragma: no cover - PIL not in this container
             import PIL.Image  # noqa: F401
 
@@ -68,9 +129,20 @@ class ImageDecodeStage:
             self._pil = False
 
     def _decode_real(self, payload: bytes) -> tuple[int, int]:
+        """Real decode: pure-stdlib PNG codec for PNG payloads; PIL for
+        general formats when installed."""
+        if payload[:8] == _PNG_SIG:
+            w, h, _ch, _pix = self._decode_png(payload)
+            return w, h
+        if self._pil:  # pragma: no cover - PIL not in this container
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height
         raise NotImplementedError(
-            "real image decode requires PIL; not available in this "
-            "container — fake decode path is active"
+            "non-PNG payload and PIL is not available in this container"
         )
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int]:
@@ -80,11 +152,16 @@ class ImageDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        n_bytes, digests, ws, hs = [], [], [], []
+        n_bytes, digests, ws, hs, decs = [], [], [], [], []
         for p in payloads:
             n_bytes.append(len(p))
             digests.append(hashlib.sha256(p).hexdigest())
-            w, h = self._decode_fake(p)
+            if p[:8] == _PNG_SIG or self._pil:
+                w, h = self._decode_real(p)
+                decs.append("png" if p[:8] == _PNG_SIG else "pil")
+            else:
+                w, h = self._decode_fake(p)
+                decs.append("fake")
             ws.append(w)
             hs.append(h)
         return pa.table(
@@ -94,8 +171,6 @@ class ImageDecodeStage:
                 "payload_sha256": pa.array(digests, type=pa.string()),
                 "width": pa.array(ws, type=pa.int64()),
                 "height": pa.array(hs, type=pa.int64()),
-                "decoder": pa.array(
-                    ["fake"] * len(ids), type=pa.string()
-                ),
+                "decoder": pa.array(decs, type=pa.string()),
             }
         )

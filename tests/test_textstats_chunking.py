@@ -205,3 +205,78 @@ def test_chunk_document_is_splitter_plus_validity():
     assert got == [c for c in semantic_chunks(text, 500)
                    if is_valid_chunk(c)]
     assert got and all(len(c) <= 500 for c in got)
+
+
+def test_png_codec_roundtrip_all_color_types():
+    from semantic_pdf_search_engine_ray.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = 7, 5
+        pix = bytes((i * 37 + ch) % 256 for i in range(w * h * ch))
+        data = encode_png(w, h, pix, color_type=ctype)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        dw, dh, dch, dpix = decode_png(data)
+        assert (dw, dh, dch) == (w, h, ch)
+        assert dpix == pix
+
+
+def test_png_decoder_reverses_every_filter_type():
+    """Hand-build a PNG whose scanlines use filters 1..4 (Sub/Up/
+    Average/Paeth) — the encoder only emits filter 0, so this proves the
+    DECODER's unfilter paths independently."""
+    import struct
+    import zlib
+
+    from semantic_pdf_search_engine_ray.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    w, h, ch = 4, 5, 3
+    pix = bytes((i * 11 + 3) % 256 for i in range(w * h * ch))
+    stride = w * ch
+    rows = [bytearray(pix[y * stride:(y + 1) * stride]) for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filtered = b""
+    prev = bytearray(stride)
+    for y, row in enumerate(rows):
+        ftype = [0, 1, 2, 3, 4][y % 5]
+        out = bytearray(stride)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            up_left = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                out[i] = row[i]
+            elif ftype == 1:
+                out[i] = (row[i] - left) & 0xFF
+            elif ftype == 2:
+                out[i] = (row[i] - up) & 0xFF
+            elif ftype == 3:
+                out[i] = (row[i] - ((left + up) >> 1)) & 0xFF
+            else:
+                out[i] = (row[i] - paeth(left, up, up_left)) & 0xFF
+        filtered += bytes([ftype]) + bytes(out)
+        prev = row
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(filtered))
+            + chunk(b"IEND", b""))
+    dw, dh, dch, dpix = decode_png(data)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert dpix == pix
+    # and the filter-0 encoder round-trips the same image
+    assert decode_png(encode_png(w, h, pix))[3] == pix
