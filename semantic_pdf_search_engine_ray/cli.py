@@ -70,11 +70,9 @@ def _serve(args) -> int:
 
     import pyarrow.dataset as pads
 
-    from semantic_pdf_search_engine_ray.functions.fuzzy import (
-        fuzzy_search,
-        snap_to_sentence_boundaries,
+    from semantic_pdf_search_engine_ray.pipelines.search import (
+        highlight_spans,
     )
-    from semantic_pdf_search_engine_ray.functions.textnorm import char_entries
     from semantic_pdf_search_engine_ray.stages.query import IndexReader
     from semantic_pdf_search_engine_ray.state import manifest as mf
 
@@ -92,6 +90,10 @@ def _serve(args) -> int:
         reader = IndexReader(index_dir)
 
     lock = threading.Lock()
+    # serializes add_documents + reader swap: concurrent uploads would
+    # otherwise both read the same manifest, collide on one shard dir
+    # and the last commit would silently drop the other ingest's shard
+    ingest_lock = threading.Lock()
     state: dict = {"reader": reader, "max_doc_id": None}
     ingests: dict[str, dict] = {}
 
@@ -128,15 +130,11 @@ def _serve(args) -> int:
         for rank, (doc_id, score) in enumerate(hits, start=1):
             row = docs.get(doc_id, {})
             text = row.get("text", "") or ""
-            entries = char_entries(text)
-            spans = []
-            for s, e, hscore in fuzzy_search(entries, q, 0.85):
-                s2, e2 = snap_to_sentence_boundaries(entries, s, e)
-                src_s = entries[s2][0] if s2 < len(entries) else len(text)
-                src_e = entries[e2 - 1][0] + 1 if e2 > s2 else src_s
-                spans.append({"start": src_s, "end": src_e,
-                              "score": hscore,
-                              "snippet": text[src_s:src_e]})
+            # shared with the batch HighlightActor — one implementation
+            spans = [
+                {"start": s, "end": e, "score": hscore, "snippet": snip}
+                for s, e, hscore, snip in highlight_spans(text, q)
+            ]
             out.append({
                 "rank": rank, "doc_id": doc_id, "score": score,
                 "url": row.get("url"),
@@ -174,11 +172,12 @@ def _serve(args) -> int:
                 "text": pa.array([r["text"] for r in rows],
                                  type=pa.string()),
             })
-            add_documents(index_dir, rd.from_arrow(tbl),
-                          input_lineage={"ingest": ingest_id})
-            new_reader = ShardedReader(index_dir)
-            with lock:
-                state["reader"] = new_reader
+            with ingest_lock:  # one shard append at a time (see above)
+                add_documents(index_dir, rd.from_arrow(tbl),
+                              input_lineage={"ingest": ingest_id})
+                new_reader = ShardedReader(index_dir)
+                with lock:
+                    state["reader"] = new_reader
             ingests[ingest_id]["status"] = "ready"
         except Exception as exc:  # surfaced via /api/ready?id=
             ingests[ingest_id]["status"] = f"error: {exc}"
@@ -397,10 +396,14 @@ def main(argv: list[str] | None = None) -> int:
                 build_index_from_docs,
             )
 
+            from semantic_pdf_search_engine_ray.pipelines.build import (
+                path_content_lineage,
+            )
+
             docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
             manifest = build_index_from_docs(
                 docs, args.output,
-                input_lineage={"docs_path": args.input},
+                input_lineage=path_content_lineage(args.input),
                 shuffle_mode=args.mode,
             )
             print(json.dumps({k: manifest[k] for k in
@@ -412,10 +415,14 @@ def main(argv: list[str] | None = None) -> int:
                 build_sharded_index,
             )
 
+            from semantic_pdf_search_engine_ray.pipelines.build import (
+                path_content_lineage,
+            )
+
             docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
             manifest = build_sharded_index(
                 docs, args.output, n_shards=args.shards,
-                input_lineage={"docs_path": args.input},
+                input_lineage=path_content_lineage(args.input),
             )
             print(json.dumps({k: manifest[k] for k in
                               ("n_docs", "n_shards", "avgdl")}))

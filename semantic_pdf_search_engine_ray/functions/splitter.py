@@ -80,15 +80,35 @@ def _level_boundaries(text: str) -> list[list[int]]:
 
 def semantic_chunks(text: str, capacity: int = 500) -> list[str]:
     """Split ``text`` into trimmed chunks of at most ``capacity`` chars,
-    breaking at the highest semantic level that fits (see module doc)."""
+    breaking at the highest semantic level that fits (see module doc).
+
+    O(n): the trimmed length of any candidate span is answered in O(1)
+    from precomputed first/last-non-whitespace prefix arrays — the naive
+    ``len(text[pos:end].strip())`` per binary-search probe re-copies the
+    tail of the document and turns multi-MB docs quadratic."""
     if not text:
         return []
+    import numpy as np
+
     levels = _level_boundaries(text)
     n = len(text)
+    ws = np.fromiter((c.isspace() for c in text), dtype=bool, count=n)
+    idx = np.arange(n, dtype=np.int64)
+    # last non-ws index <= i (or -1)
+    prev_nonws = np.maximum.accumulate(np.where(~ws, idx, -1))
+    # first non-ws index >= i (or n)
+    next_nonws = np.minimum.accumulate(np.where(~ws, idx, n)[::-1])[::-1]
+
+    def trimmed_len(pos: int, end: int) -> int:
+        a = next_nonws[pos]
+        if a >= end:
+            return 0
+        return int(prev_nonws[end - 1]) - int(a) + 1
+
     out: list[str] = []
     pos = 0
     while pos < n:
-        if not text[pos:].strip():
+        if next_nonws[pos] >= n:
             break  # only whitespace left; trim would emit nothing
         # the level to merge at: highest whose FIRST segment from pos fits
         chosen = levels[0]
@@ -96,8 +116,7 @@ def semantic_chunks(text: str, capacity: int = 500) -> list[str]:
             i = bisect.bisect_right(bounds, pos)
             if i >= len(bounds):
                 continue
-            first_end = bounds[i]
-            if len(text[pos:first_end].strip()) <= capacity:
+            if trimmed_len(pos, bounds[i]) <= capacity:
                 chosen = bounds
             else:
                 break  # higher levels only get bigger
@@ -107,7 +126,7 @@ def semantic_chunks(text: str, capacity: int = 500) -> list[str]:
         lo, hi = i0, len(chosen) - 1
         while lo < hi:
             mid = (lo + hi + 1) // 2
-            if len(text[pos:chosen[mid]].strip()) <= capacity:
+            if trimmed_len(pos, chosen[mid]) <= capacity:
                 lo = mid
             else:
                 hi = mid - 1

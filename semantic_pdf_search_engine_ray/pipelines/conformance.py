@@ -159,6 +159,7 @@ def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
     floor(|x| * 10^d + 0.5) * sign / 10^d (half AWAY from zero), while
     np.round is half-to-even — a value landing exactly on a .5 tie would
     otherwise flag a spurious mismatch vs the SQL oracle."""
+    # vectorized functions/num.round6_half_away (generalized to digits)
     v = np.asarray(
         tbl.column(col).to_numpy(zero_copy_only=False), dtype=np.float64
     )

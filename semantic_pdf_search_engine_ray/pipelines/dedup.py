@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import hashlib
 import itertools
-import math
 
 import numpy as np
 import pyarrow as pa
@@ -43,6 +42,9 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+from semantic_pdf_search_engine_ray.functions.num import (
+    round6_half_away as _round6,
+)
 from semantic_pdf_search_engine_ray.functions.shingle import (
     MinHasher,
     band_keys,
@@ -187,12 +189,6 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 _KIND_CAND, _KIND_EXACT, _KIND_MEMBER = 0, 1, 2
-
-
-def _round6(x: float) -> float:
-    """round(x, 6) with DuckDB's half-AWAY-from-zero tie rule (what the
-    SQL oracles' round() computes); Python round() is half-to-even."""
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def _filter_kind(ds: rd.Dataset, kind: int) -> rd.Dataset:
@@ -714,6 +710,7 @@ def dup_components(
         batch_format="pyarrow",
     ).materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # message: every edge forwards its neighbor's current label
         msgs = edges.join(
@@ -729,8 +726,17 @@ def dup_components(
         agg = labels.aggregate(AggSum("label")) or {}
         cur_sum = agg.get("sum(label)")
         if cur_sum == prev_sum:
+            converged = True
             break  # labels only decrease; equal sum == fixpoint
         prev_sum = cur_sum
+    if not converged:
+        # a >max_iters-diameter dup chain would otherwise silently split
+        # one component into several — refuse to return wrong labels
+        raise RuntimeError(
+            f"dup_components did not reach fixpoint in {max_iters} "
+            "rounds (pair-graph diameter exceeds max_iters); raise "
+            "max_iters"
+        )
     out = _to_table(
         labels,
         pa.schema([("node", pa.int64()), ("label", pa.int64())]),

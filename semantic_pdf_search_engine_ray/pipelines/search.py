@@ -77,14 +77,34 @@ def enrich_results(
     return joined.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+HIGHLIGHT_THRESHOLD = 0.85  # handlers/search.rs:152
+
+
+def highlight_spans(
+    text: str, query: str, threshold: float = HIGHLIGHT_THRESHOLD
+) -> list[tuple[int, int, float, str]]:
+    """Per-doc highlight computation — THE one implementation of the
+    reference's compute_highlights chain (`handlers/search.rs:115-184`):
+    char-entry projection (M10/M11) -> fuzzy_search -> sentence-boundary
+    snap -> source-text char spans. Shared by the batch HighlightActor
+    and the serve endpoint so the two surfaces can never diverge.
+    Returns [(start, end, score, snippet)]."""
+    entries = char_entries(text)
+    out: list[tuple[int, int, float, str]] = []
+    for s, e, score in fuzzy_search(entries, query, threshold):
+        s2, e2 = snap_to_sentence_boundaries(entries, s, e)
+        # map haystack indices back to source-text offsets
+        src_start = entries[s2][0] if s2 < len(entries) else len(text)
+        src_end = entries[e2 - 1][0] + 1 if e2 > s2 else src_start
+        out.append((src_start, src_end, score, text[src_start:src_end]))
+    return out
+
+
 class HighlightActor:
     """Actor-pool stage: enriched result rows (query_id, query, doc_id,
-    text) -> highlight span rows. Port of compute_highlights
-    (`handlers/search.rs:115-184`): char-entry projection (M10/M11) ->
-    fuzzy_search thr 0.85 (search.rs:152) -> snap_to_sentence_boundaries
-    -> char spans into docs.text (the web-text analog of bbox rects)."""
+    text) -> highlight span rows (see highlight_spans)."""
 
-    THRESHOLD = 0.85  # handlers/search.rs:152
+    THRESHOLD = HIGHLIGHT_THRESHOLD
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, docs, starts, ends, scores, snippets = [], [], [], [], [], []
@@ -94,18 +114,15 @@ class HighlightActor:
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            entries = char_entries(text)
-            for s, e, score in fuzzy_search(entries, qtext, self.THRESHOLD):
-                s2, e2 = snap_to_sentence_boundaries(entries, s, e)
-                # map haystack indices back to source-text offsets
-                src_start = entries[s2][0] if s2 < len(entries) else len(text)
-                src_end = entries[e2 - 1][0] + 1 if e2 > s2 else src_start
+            for src_start, src_end, score, snip in highlight_spans(
+                text, qtext, self.THRESHOLD
+            ):
                 qids.append(qid)
                 docs.append(doc_id)
                 starts.append(src_start)
                 ends.append(src_end)
                 scores.append(score)
-                snippets.append(text[src_start:src_end])
+                snippets.append(snip)
         return pa.table(
             {
                 "query_id": pa.array(qids, type=pa.int64()),

@@ -167,14 +167,25 @@ IVF_FORMAT_VERSION = 3
 
 
 def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
+    """Content-keyed cache dir. Directory inputs are WALKED (a rewritten
+    file inside a dir does not touch the dir's own stat) and mtimes are
+    kept at ns precision — same discipline as conformance._sf_cache_key."""
     import hashlib
     import json as _json
 
     paths = emb_path if isinstance(emb_path, list) else [emb_path]
     ident = []
     for p in paths:
-        st = os.stat(p)
-        ident.append((os.path.abspath(p), st.st_size, int(st.st_mtime)))
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    ident.append((os.path.abspath(fp), st.st_size,
+                                  st.st_mtime_ns))
+        else:
+            st = os.stat(p)
+            ident.append((os.path.abspath(p), st.st_size, st.st_mtime_ns))
     key = hashlib.md5(
         _json.dumps([ident, n_cells, IVF_FORMAT_VERSION]).encode()
     ).hexdigest()[:16]

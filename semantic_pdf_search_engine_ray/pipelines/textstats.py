@@ -27,6 +27,9 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from semantic_pdf_search_engine_ray.config import TOKEN_PATTERN
+from semantic_pdf_search_engine_ray.functions.num import (
+    round6_half_away as _r6,
+)
 from semantic_pdf_search_engine_ray.functions.shingle import winnow_fingerprints
 from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
 
@@ -435,11 +438,12 @@ def collocations_pmi(
         cx = t.column("c_x").to_numpy().astype(np.float64)
         cy = t.column("c_y").to_numpy().astype(np.float64)
         pmi = np.log((cxy * t_uni * t_uni) / (t_big * cx * cy))
+        # RAW pmi here: the top-k ordering must use the unrounded value
+        # (the SQL oracle ranks on pmi_raw); rounding happens on output
         return pa.table(
             {"bigram": t.column("bigram"),
              "c_xy": t.column("c_xy"),
-             "pmi": pa.array([_r6(float(x)) for x in pmi],
-                             type=pa.float64())}
+             "pmi_raw": pa.array(pmi, type=pa.float64())}
         )
 
     import ray
@@ -450,29 +454,30 @@ def collocations_pmi(
         )
         if p.num_rows
     ]
-    schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
-                        ("pmi", pa.float64())])
+    raw_schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
+                            ("pmi_raw", pa.float64())])
+    out_schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
+                            ("pmi", pa.float64())])
     if not scored_parts:
-        return schema.empty_table()
+        return out_schema.empty_table()
     scored = pa.concat_tables(
-        [p.select(schema.names).cast(schema) for p in scored_parts]
+        [p.select(raw_schema.names).cast(raw_schema) for p in scored_parts]
     )
     order = sorted(
         range(scored.num_rows),
-        key=lambda i: (-scored.column("pmi")[i].as_py(),
+        key=lambda i: (-scored.column("pmi_raw")[i].as_py(),
                        scored.column("bigram")[i].as_py()),
     )[:k]
     top = scored.take(pa.array(order))
-    return top.append_column(
-        "rank", pa.array(range(1, top.num_rows + 1), type=pa.int64())
+    return pa.table(
+        {"bigram": top.column("bigram"),
+         "c_xy": top.column("c_xy"),
+         "pmi": pa.array([_r6(x.as_py()) for x in top.column("pmi_raw")],
+                         type=pa.float64()),
+         "rank": pa.array(range(1, top.num_rows + 1), type=pa.int64())}
     )
 
 
-def _r6(x: float) -> float:
-    """DuckDB round() tie rule (half away from zero)."""
-    import math
-
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:

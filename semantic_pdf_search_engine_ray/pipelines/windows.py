@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from semantic_pdf_search_engine_ray.functions.num import round6_half_away
+
 _UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
 
 
@@ -149,7 +151,8 @@ def sessionize(
              "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
              "n_events": pa.array(out_n.astype(np.int64)),
              "sum_value": pa.array(
-                 [round(float(x), 6) for x in out_sum], type=pa.float64()),
+                 [round6_half_away(float(x)) for x in out_sum],
+                 type=pa.float64()),
              "t_start": pa.array(starts),
              "t_end": pa.array(ends)}
         )

@@ -130,7 +130,8 @@ class ImageDecodeStage:
 
     def _decode_real(self, payload: bytes) -> tuple[int, int]:
         """Real decode: pure-stdlib PNG codec for PNG payloads; PIL for
-        general formats when installed."""
+        general formats when installed. Raises on undecodable input —
+        the caller decides whether to fall back."""
         if payload[:8] == _PNG_SIG:
             w, h, _ch, _pix = self._decode_png(payload)
             return w, h
@@ -156,9 +157,20 @@ class ImageDecodeStage:
         for p in payloads:
             n_bytes.append(len(p))
             digests.append(hashlib.sha256(p).hexdigest())
-            if p[:8] == _PNG_SIG or self._pil:
+            # PNG: always real. Other formats: try PIL when present, but
+            # fall back to the deterministic fake on ANY decode failure —
+            # a non-image payload must never crash the stage (and keeps
+            # the fake-path oracle valid in PIL-equipped environments).
+            if p[:8] == _PNG_SIG:
                 w, h = self._decode_real(p)
-                decs.append("png" if p[:8] == _PNG_SIG else "pil")
+                decs.append("png")
+            elif self._pil:  # pragma: no cover - PIL absent here
+                try:
+                    w, h = self._decode_real(p)
+                    decs.append("pil")
+                except Exception:
+                    w, h = self._decode_fake(p)
+                    decs.append("fake")
             else:
                 w, h = self._decode_fake(p)
                 decs.append("fake")
