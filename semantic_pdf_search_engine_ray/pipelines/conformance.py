@@ -746,6 +746,39 @@ def q_csv_roundtrip(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(proj, batch_format="pyarrow")
 
 
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped grouped aggregate (integer-exact money sums)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    return rel.pricing_summary(li)
+
+
+def q_segment_revenue(sf_dir: str) -> rd.Dataset:
+    """orders x customer hash join -> per-segment revenue."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment"])
+    return rel.segment_revenue(orders, customer)
+
+
+def q_asof_clicks(sf_dir: str) -> rd.Dataset:
+    """AS-OF join: purchases attributed to the latest prior click."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    return rel.asof_click_attribution(events)
+
+
 def _top3_group(group: pa.Table) -> pa.Table:
     order = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
     top = order.slice(0, 3)
@@ -1295,6 +1328,56 @@ _SQL_JSONL_ROUNDTRIP = """
 SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents
 """
 
+# Money sums are integer-exact on both engines: scale-and-round
+# (floor(x*scale + 0.5), positive domain) BEFORE summing, so the
+# distributed summation order can never flip a digit (see
+# pipelines/relational.py).
+_SQL_PRICING_SUMMARY = """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS base_c,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS disc_c,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                    * 1000000 + 0.5) AS BIGINT) AS charge_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty)::BIGINT AS sum_qty,
+       sum(base_c)::BIGINT AS sum_base_c,
+       sum(disc_c)::BIGINT AS sum_disc_c,
+       sum(charge_c)::BIGINT AS sum_charge_c,
+       count(*)::BIGINT AS n_items,
+       sum(qty) * 1.0 / count(*) AS avg_qty,
+       sum(base_c) * 1.0 / count(*) AS avg_price_c
+FROM f GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_c,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+_SQL_ASOF_CLICKS = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         (epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+           // 1000000 AS e
+  FROM events
+),
+p AS (SELECT event_id, user_id, e FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, e FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.e::BIGINT AS purchase_e,
+       c.e::BIGINT AS click_e, (p.e - c.e)::BIGINT AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.e >= c.e
+"""
+
 _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_copies
@@ -1501,6 +1584,9 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "sample_stratified": q_stratified_sample,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "asof_clicks": q_asof_clicks,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -1552,6 +1638,9 @@ ORACLE_SQL = {
     "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
     "csv_roundtrip": _SQL_JSONL_ROUNDTRIP,
     "sample_stratified": _SQL_STRATIFIED_SAMPLE,
+    "pricing_summary": _SQL_PRICING_SUMMARY,
+    "segment_revenue": _SQL_SEGMENT_REVENUE,
+    "asof_clicks": _SQL_ASOF_CLICKS,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     "image_decode": _SQL_IMAGE_DECODE,

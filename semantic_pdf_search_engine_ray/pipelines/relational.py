@@ -1,0 +1,202 @@
+"""Relational operators over the TPC-H-style side tables — the general
+data-processing surface of the engine (a user of the reference's
+pipeline also has orders/lineitem-shaped logs next to their documents).
+
+    pricing_summary   TPC-H Q1-shaped grouped aggregate over lineitem
+    segment_revenue   orders x customer hash join -> per-segment totals
+    asof_click_attribution
+                      AS-OF join inside the events stream: every
+                      purchase attributed to the same user's latest
+                      click at-or-before it
+
+Money arithmetic is INTEGER-EXACT by design: 2-decimal prices and
+discounts are scaled to integer cents (floor(x*scale + 0.5) — positive
+half-away rounding, mirrored verbatim in the SQL oracles) before
+summing, so distributed vs sequential float summation order can never
+flip a digit. Averages divide exact integers once (bit-identical
+doubles in every engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+Q1_CUTOFF = "1998-09-02 00:00:00"  # mid-range of the synthetic shipdates
+
+
+def _cents(arr: np.ndarray, scale: int) -> np.ndarray:
+    """Positive-domain half-away integer scaling (== the SQL oracle's
+    CAST(floor(x * scale + 0.5) AS BIGINT))."""
+    return np.floor(arr * scale + 0.5).astype(np.int64)
+
+
+def pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) over rows with
+    l_shipdate <= Q1_CUTOFF — item counts, quantity, base price,
+    discounted price, charge (all exact-integer sums) and their
+    averages. One pinned-key hash aggregate; Ray's hash groupby combines
+    per block before the exchange (map-side combine for free)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(
+            batch.column("l_shipdate"),
+            pa.scalar(np.datetime64(Q1_CUTOFF.replace(" ", "T"), "us")),
+        )
+        batch = batch.filter(mask)
+        qty = batch.column("l_quantity").to_numpy()
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        tax = batch.column("l_tax").to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty.astype(np.int64)),
+                "base_c": pa.array(_cents(price, 100)),
+                # price(2dp) * (1-disc)(2dp) -> exact at 4 decimals
+                "disc_c": pa.array(_cents(price * (1.0 - disc), 10_000)),
+                # * (1+tax)(2dp) -> exact at 6 decimals
+                "charge_c": pa.array(
+                    _cents(price * (1.0 - disc) * (1.0 + tax), 1_000_000)
+                ),
+            }
+        )
+
+    agg = (
+        lineitem.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_c", alias_name="sum_base_c"),
+            Sum("disc_c", alias_name="sum_disc_c"),
+            Sum("charge_c", alias_name="sum_charge_c"),
+            Count(alias_name="n_items"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_items").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("sum_qty").cast(pa.int64()),
+                "sum_base_c": batch.column("sum_base_c").cast(pa.int64()),
+                "sum_disc_c": batch.column("sum_disc_c").cast(pa.int64()),
+                "sum_charge_c": batch.column("sum_charge_c").cast(
+                    pa.int64()
+                ),
+                "n_items": batch.column("n_items").cast(pa.int64()),
+                # exact-int / exact-int: bit-identical double everywhere
+                "avg_qty": pa.array(
+                    batch.column("sum_qty").to_numpy() / n,
+                    type=pa.float64(),
+                ),
+                "avg_price_c": pa.array(
+                    batch.column("sum_base_c").to_numpy() / n,
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def segment_revenue(
+    orders: rd.Dataset, customer: rd.Dataset, num_partitions: int = 4
+) -> rd.Dataset:
+    """Revenue per market segment: orders hash-JOINED to customer on
+    custkey (at TPC-H shape customer is the small side; at web scale
+    both sides shuffle — which is what Dataset.join does), then one
+    grouped integer-exact sum."""
+
+    def order_cents(batch: pa.Table) -> pa.Table:
+        total = batch.column("o_totalprice").to_numpy()
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "total_c": pa.array(_cents(total, 100)),
+            }
+        )
+
+    joined = orders.map_batches(order_cents, batch_format="pyarrow").join(
+        customer.select_columns(["c_custkey", "c_mktsegment"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Sum("total_c", alias_name="revenue_c"),
+            Count(alias_name="n_orders"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_mktsegment": t.column("c_mktsegment"),
+                    "revenue_c": t.column("revenue_c").cast(pa.int64()),
+                    "n_orders": t.column("n_orders").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def asof_click_attribution(events: rd.Dataset) -> rd.Dataset:
+    """AS-OF join expressed Ray-Data-first: attribute every ``purchase``
+    event to the same user's latest ``click`` at-or-before it.
+
+    One user_id hash shuffle (groupby.map_groups); inside each group a
+    sorted numpy searchsorted does the as-of matching — the composition
+    pattern for time-travel joins when the key partitions cleanly
+    (the partitioning assumption: one user's events fit one group).
+    Output: (event_id, user_id, purchase_e, click_e nullable, gap_s
+    nullable), epochs in floored int64 seconds."""
+
+    def attribute(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        epoch = _pc.cast(
+            _pc.floor_temporal(group.column("ts"), unit="second"),
+            pa.timestamp("s"),
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        etype = group.column("event_type").to_pylist()
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id")[0].as_py()
+        is_click = np.array([t == "click" for t in etype])
+        is_purchase = np.array([t == "purchase" for t in etype])
+        click_e = np.sort(epoch[is_click])
+        out_id, out_pe, out_ce, out_gap = [], [], [], []
+        for e_id, pe in zip(eid[is_purchase], epoch[is_purchase]):
+            out_id.append(int(e_id))
+            out_pe.append(int(pe))
+            k = int(np.searchsorted(click_e, pe, side="right")) - 1
+            if k >= 0:
+                out_ce.append(int(click_e[k]))
+                out_gap.append(int(pe - click_e[k]))
+            else:
+                out_ce.append(None)
+                out_gap.append(None)
+        return pa.table(
+            {
+                "event_id": pa.array(out_id, type=pa.int64()),
+                "user_id": pa.array([uid] * len(out_id), type=pa.int64()),
+                "purchase_e": pa.array(out_pe, type=pa.int64()),
+                "click_e": pa.array(out_ce, type=pa.int64()),
+                "gap_s": pa.array(out_gap, type=pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(attribute, batch_format="pyarrow")
+    )
