@@ -12,7 +12,8 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("documents", "embeddings", "events")
+TABLES = ("documents", "embeddings", "events",
+          "lineitem", "orders", "customer")
 
 # Queries covering every engine subsystem that has a SQL oracle:
 # the full BM25 chain (build shuffle + codec + scoring + sharding),
@@ -33,6 +34,10 @@ SUBSET = [
     "tfidf_top_terms",
     "collocations_pmi",
     "sample_10pct",
+    "pricing_summary",
+    "segment_revenue",
+    "asof_clicks",
+    "image_decode",
     "quality",
     "unigram_logprob",
     "multimodal_decode",
