@@ -394,9 +394,6 @@ def main(argv: list[str] | None = None) -> int:
 
             from semantic_pdf_search_engine_ray.pipelines.build import (
                 build_index_from_docs,
-            )
-
-            from semantic_pdf_search_engine_ray.pipelines.build import (
                 path_content_lineage,
             )
 
@@ -411,12 +408,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "build-sharded":
             import ray.data as rd
 
-            from semantic_pdf_search_engine_ray.pipelines.sharding import (
-                build_sharded_index,
-            )
-
             from semantic_pdf_search_engine_ray.pipelines.build import (
                 path_content_lineage,
+            )
+            from semantic_pdf_search_engine_ray.pipelines.sharding import (
+                build_sharded_index,
             )
 
             docs = rd.read_parquet(args.input, columns=["doc_id", "text"])

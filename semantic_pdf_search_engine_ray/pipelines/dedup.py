@@ -711,7 +711,9 @@ def dup_components(
     ).materialize()
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    # max_iters CHANGE-rounds plus one confirming round (the fixpoint
+    # test needs an extra no-change iteration to observe equality)
+    for _ in range(max_iters + 1):
         # message: every edge forwards its neighbor's current label
         msgs = edges.join(
             labels, join_type="inner", num_partitions=num_partitions,

@@ -177,7 +177,8 @@ def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
     ident = []
     for p in paths:
         if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()  # deterministic traversal order
                 for f in sorted(files):
                     fp = os.path.join(root, f)
                     st = os.stat(fp)
@@ -186,6 +187,7 @@ def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
         else:
             st = os.stat(p)
             ident.append((os.path.abspath(p), st.st_size, st.st_mtime_ns))
+    ident.sort()  # key is a pure function of content, not enumeration
     key = hashlib.md5(
         _json.dumps([ident, n_cells, IVF_FORMAT_VERSION]).encode()
     ).hexdigest()[:16]

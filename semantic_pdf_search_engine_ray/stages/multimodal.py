@@ -162,8 +162,13 @@ class ImageDecodeStage:
             # a non-image payload must never crash the stage (and keeps
             # the fake-path oracle valid in PIL-equipped environments).
             if p[:8] == _PNG_SIG:
-                w, h = self._decode_real(p)
-                decs.append("png")
+                try:
+                    w, h = self._decode_real(p)
+                    decs.append("png")
+                except Exception:
+                    # corrupt/truncated PNG: degrade, don't kill the task
+                    w, h = self._decode_fake(p)
+                    decs.append("fake")
             elif self._pil:  # pragma: no cover - PIL absent here
                 try:
                     w, h = self._decode_real(p)
