@@ -623,6 +623,23 @@ def q_dup_components(sf_dir: str) -> pa.Table:
                              threshold=JACCARD_THRESHOLD)
 
 
+def q_dedup_apply_components(sf_dir: str) -> rd.Dataset:
+    """Cleaned corpus with ONE survivor per near-dup component."""
+    out = dd.apply_component_dedup(documents_path(sf_dir), n=JACCARD_N,
+                                   threshold=JACCARD_THRESHOLD)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "text_chars": pc.utf8_length(batch.column("text")).cast(
+                 pa.int64())}
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def q_regex_features(sf_dir: str) -> rd.Dataset:
     """PII-surface regex counts (emails / urls / long digit runs)."""
     return ts.regex_features(read_docs(sf_dir))
@@ -1229,6 +1246,19 @@ SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS component_id
 FROM reach GROUP BY node
 """
 
+# cluster-level dedup: drop every component member except the min
+# (reuses the recursive component CTE; the final SELECT is swapped for a
+# NOT IN filter over non-canonical members)
+_SQL_DEDUP_APPLY_COMPONENTS = _SQL_DUP_COMPONENTS.replace(
+    "SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS component_id\n"
+    "FROM reach GROUP BY node",
+    """SELECT d.doc_id, length(d.text)::BIGINT AS text_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(lab)
+)""",
+)
+
 _SQL_REGEX_FEATURES = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{ts.EMAIL_PATTERN}'))::BIGINT AS n_emails,
@@ -1575,6 +1605,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_sessionize,
     "dedup_components": q_dup_components,
+    "dedup_apply_components": q_dedup_apply_components,
     "regex_features": q_regex_features,
     "tfidf_top_terms": q_tfidf_top_terms,
     "collocations_pmi": q_collocations_pmi,
@@ -1629,6 +1660,7 @@ ORACLE_SQL = {
     "events_sliding": _SQL_EVENTS_SLIDING,
     "events_sessionize": _SQL_SESSIONIZE,
     "dedup_components": _SQL_DUP_COMPONENTS,
+    "dedup_apply_components": _SQL_DEDUP_APPLY_COMPONENTS,
     "regex_features": _SQL_REGEX_FEATURES,
     "tfidf_top_terms": _SQL_TFIDF_TOP,
     "collocations_pmi": _SQL_COLLOCATIONS,

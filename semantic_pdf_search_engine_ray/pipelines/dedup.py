@@ -748,6 +748,37 @@ def dup_components(
     )
 
 
+def apply_component_dedup(
+    docs_path: str | list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+) -> rd.Dataset:
+    """Cluster-level cleaned corpus: ONE survivor per near-dup connected
+    component (the component's min doc_id), all unclustered docs kept.
+
+    This is the semantically strongest dedup guarantee — transitive
+    chains (A~B~C with A!~C) keep exactly one doc, where the pairwise
+    rule of apply_near_dedup can keep A while dropping both B and C.
+    The removal set (non-canonical component members) broadcasts into a
+    streaming filter; the corpus itself never shuffles."""
+    comps = dup_components(docs_path, n=n, threshold=threshold)
+    remove = {
+        d for d, c in zip(comps.column("doc_id").to_pylist(),
+                          comps.column("component_id").to_pylist())
+        if d != c
+    }
+    remove_ref = ray.put(remove)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rm = ray.get(remove_ref)
+        mask = [d not in rm for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
