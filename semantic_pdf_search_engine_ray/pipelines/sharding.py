@@ -226,6 +226,82 @@ def add_documents(
     return payload
 
 
+def compact_shards(
+    root_dir: str,
+    target_shards: int,
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Shard compaction — the LSM-style counterpart of add_documents:
+    every upload appends one shard, so a long-lived index accumulates
+    many small shards (more readers, more per-query merge work). This
+    merges the SMALLEST shards (re-indexing their docs stores into one
+    new shard against the root's pinned avgdl) until ``target_shards``
+    remain, then recommits the root atomically. Queries are bit-identical
+    before and after: every shard scores with the global (N, avgdl, df),
+    which compaction does not change.
+
+    Crash safety mirrors add_documents: the new shard is built and the
+    manifest recommitted BEFORE the merged shard dirs are deleted — a
+    crash in between leaves orphan dirs, never a broken index."""
+    import shutil
+
+    cfg = cfg or EngineConfig()
+    m = mf.load_manifest(root_dir)
+    if m.get("layout") != "doc_range_sharded":
+        raise ValueError(f"{root_dir} is not a sharded index root")
+    if target_shards < 1:
+        raise ValueError("target_shards must be >= 1")
+    shards = list(m["shards"])
+    if len(shards) <= target_shards:
+        return m  # nothing to do
+    sizes = []
+    for name in shards:
+        sm = mf.load_manifest(os.path.join(root_dir, name))
+        sizes.append((int(sm["n_docs"]), name))
+    sizes.sort()
+    n_merge = len(shards) - target_shards + 1
+    merge = [name for _n, name in sizes[:n_merge]]
+    survivors = [name for name in shards if name not in set(merge)]
+
+    # union of the merged shards' docs stores -> one new shard, encoded
+    # against the root's PINNED avgdl (WAND-bound validity, same contract
+    # as add_documents)
+    docs_parts = []
+    for name in merge:
+        t = pq.read_table(os.path.join(root_dir, name, "docs"))
+        docs_parts.append(t.drop_columns(
+            [c for c in ("doc_len",) if c in t.column_names]
+        ))
+    docs_tbl = pa.concat_tables(docs_parts, promote_options="default")
+    next_id = 1 + max(int(s.rsplit("_", 1)[1]) for s in shards)
+    new_name = f"shard_{next_id:05d}"
+    idx = os.path.join(root_dir, new_name)
+    avgdl_pin = float(m.get("avgdl_pinned", m["avgdl"]))
+    build_index_from_docs(
+        rd.from_arrow(docs_tbl), idx, cfg,
+        input_lineage={"root": root_dir, "compacted_from": sorted(merge)},
+        avgdl_override=avgdl_pin,
+    )
+    new_shards = survivors + [new_name]
+    _rewrite_global_dictionary(
+        root_dir, [os.path.join(root_dir, s) for s in new_shards]
+    )
+    payload = {
+        **{k: m[k] for k in ("layout", "params")},
+        "n_shards": len(new_shards),
+        "shards": new_shards,
+        "n_docs": int(m["n_docs"]),
+        "total_tokens": int(m["total_tokens"]),
+        "avgdl": avgdl_pin,
+        "avgdl_pinned": avgdl_pin,
+        "true_avgdl": m.get("true_avgdl", m["avgdl"]),
+    }
+    mf.commit_manifest(root_dir, payload)
+    for name in merge:  # cleanup only after the commit
+        shutil.rmtree(os.path.join(root_dir, name), ignore_errors=True)
+    return payload
+
+
 class ShardedReader:
     """Query tier over a sharded index: per-shard IndexReaders scoring
     with the GLOBAL (N, avgdl, df) so per-doc scores are bit-identical to

@@ -300,3 +300,63 @@ def test_shard_owning_actor_tier_matches_mono(both_indexes):
             by_q.setdefault(qid, []).append((doc, score))
         for qid in want:
             assert by_q.get(qid, []) == want[qid], (n_owners, qid)
+
+
+def test_compaction_preserves_results_bit_identically(
+    ray_session, tmp_path_factory
+):
+    """LSM-style shard compaction: grow a root via two uploads (4 shards
+    total), compact to 2 — query results must stay bit-identical and the
+    corpus counts unchanged; merged shard dirs are removed."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+        add_documents,
+        build_sharded_index,
+        compact_shards,
+    )
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    def subset(lo, hi):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            mask = pa.compute.and_(
+                pa.compute.greater_equal(ids, lo), pa.compute.less(ids, hi)
+            )
+            return batch.filter(mask)
+
+        return rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow")
+
+    root = str(tmp_path_factory.mktemp("compact") / "root")
+    build_sharded_index(subset(0, 250), root, n_shards=2,
+                        input_lineage={"t": "cmp-base"})
+    add_documents(root, subset(250, 380), input_lineage={"t": "cmp-a"})
+    add_documents(root, subset(380, 10_000), input_lineage={"t": "cmp-b"})
+    m0 = mf.load_manifest(root)
+    assert m0["n_shards"] == 4
+
+    before = ShardedReader(root)
+    queries = sorted(before.readers[0].df,
+                     key=lambda t: (-before.readers[0].df[t], t))[:6]
+    want = {q: before.top_k(q, 5) for q in queries}
+
+    m1 = compact_shards(root, target_shards=2)
+    assert m1["n_shards"] == 2
+    assert m1["n_docs"] == m0["n_docs"]
+    assert m1["total_tokens"] == m0["total_tokens"]
+    assert m1["avgdl"] == m0["avgdl_pinned"]
+    # merged dirs are gone; survivors + the new shard remain
+    on_disk = {d for d in os.listdir(root) if d.startswith("shard_")}
+    assert on_disk == set(m1["shards"])
+
+    after = ShardedReader(root)
+    for q in queries:
+        assert after.top_k(q, 5) == want[q], q
+    # idempotent no-op below target
+    assert compact_shards(root, target_shards=2)["n_shards"] == 2
