@@ -300,6 +300,14 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--output", required=True)
     bs.add_argument("--shards", type=int, default=4)
 
+    cp = sub.add_parser(
+        "compact", parents=[common],
+        help="merge the smallest shards of a sharded root until "
+             "--target-shards remain (results bit-identical; run after "
+             "many uploads have accumulated small shards)")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--target-shards", type=int, required=True)
+
     q = sub.add_parser("query", parents=[common],
                        help="one query -> top-k JSON lines")
     q.add_argument("--index", required=True)
@@ -422,6 +430,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({k: manifest[k] for k in
                               ("n_docs", "n_shards", "avgdl")}))
+        elif args.cmd == "compact":
+            from semantic_pdf_search_engine_ray.pipelines.sharding import (
+                compact_shards,
+            )
+
+            manifest = compact_shards(args.index, args.target_shards)
+            print(json.dumps({k: manifest[k] for k in
+                              ("n_shards", "n_docs", "avgdl")}))
         elif args.cmd == "query-batch":
             import ray.data as rd
 
