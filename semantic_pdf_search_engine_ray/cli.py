@@ -144,13 +144,25 @@ def _serve(args) -> int:
         return out
 
     def current_max_doc_id() -> int:
+        """Max existing doc_id from parquet FOOTER statistics — no data
+        pages are read, so this stays O(files) at any corpus size."""
+        import pyarrow.parquet as pq
+
         hi = -1
         for d in docs_dirs():
             if not os.path.isdir(d):
                 continue
-            t = pads.dataset(d).to_table(columns=["doc_id"])
-            if t.num_rows:
-                hi = max(hi, int(max(t.column("doc_id").to_pylist())))
+            for root_dir, _dirs, files in os.walk(d):
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(root_dir, f)).metadata
+                    col = md.schema.to_arrow_schema().get_field_index(
+                        "doc_id")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(col).statistics
+                        if st is not None and st.has_min_max:
+                            hi = max(hi, int(st.max))
         return hi
 
     def ingest_worker(ingest_id: str, doc_ids: list[int], rows: list[dict]):
