@@ -63,6 +63,7 @@ def _serve(args) -> int:
                                 flips when the upload's shard commits
                                 (handlers/ready.rs:13-23)
     """
+    import queue
     import threading
     import urllib.parse
     import uuid
@@ -90,12 +91,17 @@ def _serve(args) -> int:
         reader = IndexReader(index_dir)
 
     lock = threading.Lock()
-    # serializes add_documents + reader swap: concurrent uploads would
-    # otherwise both read the same manifest, collide on one shard dir
-    # and the last commit would silently drop the other ingest's shard
-    ingest_lock = threading.Lock()
     state: dict = {"reader": reader, "max_doc_id": None}
     ingests: dict[str, dict] = {}
+    # All ingests run on ONE persistent worker thread (started below):
+    # a local `ray.init()`'s GCS is torn down when the thread that
+    # created it exits, and the next Ray call then aborts the whole
+    # process ("Failed to connect to GCS ... The program will
+    # terminate"), so per-upload threads are unsafe. The single
+    # consumer also serializes add_documents + reader swap — concurrent
+    # appends would both read the same manifest, collide on one shard
+    # dir, and the last commit would silently drop the other shard.
+    ingest_q: queue.Queue = queue.Queue()
 
     def docs_dirs() -> list[str]:
         if sharded:
@@ -165,34 +171,42 @@ def _serve(args) -> int:
                             hi = max(hi, int(st.max))
         return hi
 
-    def ingest_worker(ingest_id: str, doc_ids: list[int], rows: list[dict]):
-        try:
-            _ensure_ray(None)
-            import pyarrow as pa
-            import ray.data as rd
+    def ingest_one(ingest_id: str, doc_ids: list[int], rows: list[dict]):
+        _ensure_ray(None)  # lazy: first upload pays the Ray startup
+        import pyarrow as pa
+        import ray.data as rd
 
-            from semantic_pdf_search_engine_ray.pipelines.sharding import (
-                ShardedReader,
-                add_documents,
-            )
+        from semantic_pdf_search_engine_ray.pipelines.sharding import (
+            ShardedReader,
+            add_documents,
+        )
 
-            tbl = pa.table({
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "url": pa.array([r.get("url") or f"upload://{i}"
-                                 for r, i in zip(rows, doc_ids)],
-                                type=pa.string()),
-                "text": pa.array([r["text"] for r in rows],
-                                 type=pa.string()),
-            })
-            with ingest_lock:  # one shard append at a time (see above)
-                add_documents(index_dir, rd.from_arrow(tbl),
-                              input_lineage={"ingest": ingest_id})
-                new_reader = ShardedReader(index_dir)
-                with lock:
-                    state["reader"] = new_reader
-            ingests[ingest_id]["status"] = "ready"
-        except Exception as exc:  # surfaced via /api/ready?id=
-            ingests[ingest_id]["status"] = f"error: {exc}"
+        tbl = pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "url": pa.array([r.get("url") or f"upload://{i}"
+                             for r, i in zip(rows, doc_ids)],
+                            type=pa.string()),
+            "text": pa.array([r["text"] for r in rows],
+                             type=pa.string()),
+        })
+        add_documents(index_dir, rd.from_arrow(tbl),
+                      input_lineage={"ingest": ingest_id})
+        new_reader = ShardedReader(index_dir)
+        with lock:
+            state["reader"] = new_reader
+
+    def ingest_loop():  # the one long-lived Ray-owning thread
+        while True:
+            ingest_id, doc_ids, rows = ingest_q.get()
+            try:
+                ingest_one(ingest_id, doc_ids, rows)
+                ingests[ingest_id]["status"] = "ready"
+            except Exception as exc:  # surfaced via /api/ready?id=
+                ingests[ingest_id]["status"] = f"error: {exc}"
+            finally:
+                ingest_q.task_done()
+
+    threading.Thread(target=ingest_loop, daemon=True).start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -267,10 +281,7 @@ def _serve(args) -> int:
             doc_ids = list(range(start, start + len(rows)))
             ingest_id = uuid.uuid4().hex
             ingests[ingest_id] = {"status": "indexing", "doc_ids": doc_ids}
-            threading.Thread(
-                target=ingest_worker, args=(ingest_id, doc_ids, rows),
-                daemon=True,
-            ).start()
+            ingest_q.put((ingest_id, doc_ids, rows))
             self._json({"id": ingest_id, "doc_ids": doc_ids}, 202)
 
     srv = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)

@@ -407,14 +407,19 @@ def collocations_pmi(
     groupbys, the (frequent-)bigram table hash-JOINED against the
     unigram counts on each constituent word — the marginal table is
     vocabulary-sized, so it is joined, not broadcast."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     big = docs.map_batches(_bigram_rows, batch_format="pyarrow")
     uni = docs.map_batches(_unigram_rows, batch_format="pyarrow")
-    bcnt = big.groupby("bigram").aggregate(Count(alias_name="c_xy"))
+    bcnt = big.groupby("bigram").aggregate(
+        Count(alias_name="c_xy")
+    ).materialize()
     ucnt = uni.groupby("term").aggregate(Count(alias_name="c")).materialize()
-    t_uni = int(uni.count())
-    t_big = int(big.count())
+    # totals from the (materialized) count tables — summing them is a
+    # tiny aggregate; a .count() on uni/big would re-execute the whole
+    # token/bigram emission pass
+    t_uni = int((ucnt.aggregate(Sum("c")) or {}).get("sum(c)") or 0)
+    t_big = int((bcnt.aggregate(Sum("c_xy")) or {}).get("sum(c_xy)") or 0)
 
     def frequent_and_split(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t.column("c_xy"), min_count))

@@ -161,3 +161,64 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_serve_concurrent_uploads_both_land(sharded_root):
+    """Race-fix contract: two uploads fired concurrently must BOTH end
+    up searchable (the r2 review found the losing shard was silently
+    dropped when both ingests computed the same shard id)."""
+    import socket
+    import time
+    import urllib.error
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "semantic_pdf_search_engine_ray.cli",
+         "serve", "--index", sharded_root, "--port", str(port)],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(100):
+            try:
+                assert _http_json(f"{base}/api/ready")["ready"] is True
+                break
+            except (urllib.error.URLError, ConnectionError):
+                time.sleep(0.2)
+        else:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve exited rc={proc.returncode}: "
+                    f"{proc.stderr.read()[-2000:]}"
+                )
+            raise AssertionError("serve did not come up")
+
+        markers = ("klaxonberry zintharoo", "quovillex dranthopay")
+        ups = [
+            _http_json(f"{base}/upload", data={
+                "docs": [{"url": f"upload://c{i}",
+                          "text": f"concurrent ingest number {i} about "
+                                  f"the {m} phenomenon in engines"}]})
+            for i, m in enumerate(markers)
+        ]
+        assert ups[0]["doc_ids"] != ups[1]["doc_ids"]  # disjoint ids
+        for up in ups:
+            for _ in range(300):
+                st = _http_json(f"{base}/api/ready?id={up['id']}")
+                assert not str(st["status"]).startswith("error"), st
+                if st["ready"]:
+                    break
+                time.sleep(1)
+            else:
+                raise AssertionError(f"ingest {up['id']} never ready")
+        for up, m in zip(ups, markers):
+            res = _http_json(f"{base}/api/search?q={m.split()[0]}&k=3")
+            assert res and res[0]["doc_id"] == up["doc_ids"][0], m
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
