@@ -48,10 +48,14 @@ from semantic_pdf_search_engine_ray.pipelines.search import (
     run_queries_with_highlights,
 )
 from semantic_pdf_search_engine_ray.stages.multimodal import (
+    AudioFeaturesStage,
     ImageDecodeStage,
     ImageStatsStage,
+    VideoFrameSampleStage,
+    attach_frames_batch,
     attach_payload_batch,
     attach_png_batch,
+    attach_wav_batch,
 )
 from semantic_pdf_search_engine_ray.state import manifest as mf
 
@@ -848,6 +852,41 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_audio_features(sf_dir: str) -> rd.Dataset:
+    """REAL audio decode: a deterministic PCM WAV is encoded per doc
+    (functions/wav.py) and fully decoded back — RIFF chunk walk, PCM
+    unpack, all-sample integer features — by the actor-pool stage. The
+    oracle recomputes every sample from the pinned generation rule, so
+    any decode/feature bug hash-mismatches."""
+    return (
+        read_docs(sf_dir)
+        .map_batches(attach_wav_batch, batch_format="pyarrow")
+        .map_batches(
+            AudioFeaturesStage,
+            batch_format="pyarrow",
+            batch_size=32,  # large payloads -> small batches (scale rule)
+            concurrency=(1, 4),
+        )
+    )
+
+
+def q_video_frames(sf_dir: str) -> rd.Dataset:
+    """Video frame sampling: a deterministic FRM1 container of real PNG
+    frames per doc; the stage samples every 2nd frame (skipping the
+    bytes of unsampled frames via the length prefixes) and REALLY
+    decodes each sampled frame. One output row per sampled frame."""
+    return (
+        read_docs(sf_dir)
+        .map_batches(attach_frames_batch, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameSampleStage,
+            batch_format="pyarrow",
+            batch_size=16,  # multi-frame payloads -> smaller batches
+            concurrency=(1, 4),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL oracles
 # --------------------------------------------------------------------------
@@ -1572,6 +1611,38 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_AUDIO_FEATURES = """
+WITH s AS (SELECT doc_id, 160 + doc_id % 40 AS n FROM documents),
+samp AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, n - 1)) AS i,
+         unnest(list_transform(generate_series(0, n - 1),
+                i -> (doc_id * 31 + i * 17) % 2048 - 1024)) AS v
+  FROM s
+),
+flags AS (
+  SELECT doc_id, n, v,
+         CASE WHEN (v < 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM samp
+)
+SELECT doc_id, 8000::BIGINT AS sample_rate, max(n)::BIGINT AS n_samples,
+       (max(n) * 1000 // 8000)::BIGINT AS duration_ms,
+       max(abs(v))::BIGINT AS peak, sum(v * v)::BIGINT AS energy,
+       sum(zc)::BIGINT AS zero_crossings
+FROM flags GROUP BY doc_id
+"""
+
+_SQL_VIDEO_FRAMES = """
+WITH f AS (SELECT doc_id, 6 + doc_id % 5 AS nf FROM documents),
+idx AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS j FROM f)
+SELECT doc_id, j::BIGINT AS frame_idx, nf::BIGINT AS n_frames,
+       ((doc_id + j) % 9 + 2)::BIGINT AS width,
+       ((doc_id * 3 + j) % 7 + 2)::BIGINT AS height,
+       ((doc_id * 11 + j * 29) % 256)::BIGINT AS mean_pixel
+FROM idx WHERE j % 2 = 0
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_classes": q_token_classes,
@@ -1622,6 +1693,8 @@ QUERIES = {
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
     "image_decode": q_image_decode,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frames,
 }
 
 ORACLE_SQL = {
@@ -1676,6 +1749,8 @@ ORACLE_SQL = {
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     "image_decode": _SQL_IMAGE_DECODE,
+    "audio_features": _SQL_AUDIO_FEATURES,
+    "video_frame_sample": _SQL_VIDEO_FRAMES,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -92,6 +92,135 @@ class ImageStatsStage:
         )
 
 
+def attach_wav_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, ...) -> (doc_id, payload): a REAL deterministic PCM WAV
+    per doc (length and every sample are pinned functions of doc_id,
+    mirrored by the SQL oracle), exercising the actual RIFF encode
+    path. Sample rule: n = 160 + doc_id % 40 samples at 8 kHz,
+    s[i] = (doc_id*31 + i*17) % 2048 - 1024."""
+    from semantic_pdf_search_engine_ray.functions.wav import encode_wav
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for d in ids:
+        n = 160 + d % 40
+        samples = [(d * 31 + i * 17) % 2048 - 1024 for i in range(n)]
+        payloads.append(encode_wav(8000, samples))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+class AudioFeaturesStage:
+    """Actor-pool stage: (doc_id, payload WAV bytes) -> integer-exact
+    clip features. Fully REAL: every payload is RIFF-chunk-walked and
+    PCM-unpacked by functions/wav.py; features cover every sample, so a
+    decode bug cannot pass the oracle. Integer outputs only — a
+    distributed run and the SQL oracle agree bit-for-bit."""
+
+    def __init__(self):
+        from semantic_pdf_search_engine_ray.functions.wav import (
+            audio_features,
+            decode_wav,
+        )
+
+        self._decode = decode_wav
+        self._features = audio_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cols: dict[str, list] = {
+            "sample_rate": [], "n_samples": [], "duration_ms": [],
+            "peak": [], "energy": [], "zero_crossings": [],
+        }
+        for p in batch.column("payload").to_pylist():
+            rate, samples = self._decode(p)
+            feats = self._features(rate, samples)
+            cols["sample_rate"].append(rate)
+            for k in ("n_samples", "duration_ms", "peak", "energy",
+                      "zero_crossings"):
+                cols[k].append(feats[k])
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             **{k: pa.array(v, type=pa.int64()) for k, v in cols.items()}}
+        )
+
+
+def attach_frames_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, ...) -> (doc_id, payload): a deterministic multi-frame
+    FRM1 container per doc whose frames are REAL PNGs (dims and fill are
+    pinned functions of (doc_id, frame_idx), mirrored by the SQL
+    oracle). n_frames = 6 + doc_id % 5."""
+    from semantic_pdf_search_engine_ray.functions.frames import pack_frames
+    from semantic_pdf_search_engine_ray.functions.png import encode_png
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for d in ids:
+        frames = []
+        for j in range(6 + d % 5):
+            w = (d + j) % 9 + 2
+            h = (d * 3 + j) % 7 + 2
+            fill = (d * 11 + j * 29) % 256
+            frames.append(encode_png(w, h, bytes([fill]) * (w * h * 3)))
+        payloads.append(pack_frames(frames))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: (doc_id, payload frame container) -> one row
+    per SAMPLED frame (every ``step``-th, frame 0 always included), each
+    sampled frame REALLY decoded by the PNG codec. This is the video
+    analog of batched inference preprocessing: never decode all frames,
+    only the sampled ones — the container parse reads length prefixes
+    and SKIPS unsampled frame bytes.
+
+    Output: (doc_id, frame_idx, n_frames, width, height, mean_pixel),
+    one row per sampled frame — a flat_map-shaped batch transform."""
+
+    def __init__(self, step: int = 2):
+        from semantic_pdf_search_engine_ray.functions.frames import (
+            unpack_frames,
+        )
+        from semantic_pdf_search_engine_ray.functions.png import decode_png
+
+        self._unpack = unpack_frames
+        self._decode = decode_png
+        self._step = step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, idxs, totals, ws, hs, means = [], [], [], [], [], []
+        for doc_id, p in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("payload").to_pylist()):
+            frames = self._unpack(p)
+            for j in range(0, len(frames), self._step):
+                w, h, _ch, pix = self._decode(frames[j])
+                out_ids.append(doc_id)
+                idxs.append(j)
+                totals.append(len(frames))
+                ws.append(w)
+                hs.append(h)
+                means.append(int(sum(pix) // len(pix)) if pix else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "n_frames": pa.array(totals, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "mean_pixel": pa.array(means, type=pa.int64()),
+            }
+        )
+
+
 def attach_payload_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) -> (doc_id, payload binary): stands in for reading
     a real image/audio column; UTF-8 bytes of the text play the blob."""

@@ -41,6 +41,8 @@ SUBSET = [
     "quality",
     "unigram_logprob",
     "multimodal_decode",
+    "audio_features",
+    "video_frame_sample",
 ]
 
 

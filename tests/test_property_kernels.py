@@ -103,3 +103,34 @@ def test_round6_half_away_matches_duckdb_semantics(x):
     # idempotent and sign-preserving
     assert round6_half_away(r) == r
     assert (r >= 0) == (x >= 0) or r == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=64),
+    st.integers(min_value=1, max_value=192000),
+)
+def test_wav_roundtrip_random(samples, rate):
+    from semantic_pdf_search_engine_ray.functions.wav import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    got_rate, got = decode_wav(encode_wav(rate, samples))
+    assert (got_rate, got) == (rate, samples)
+    f = audio_features(got_rate, got)
+    assert f["energy"] == sum(s * s for s in samples)
+    assert f["peak"] == max((abs(s) for s in samples), default=0)
+    assert 0 <= f["zero_crossings"] < max(len(samples), 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=64), max_size=16))
+def test_frames_roundtrip_random(frames):
+    from semantic_pdf_search_engine_ray.functions.frames import (
+        pack_frames,
+        unpack_frames,
+    )
+
+    assert unpack_frames(pack_frames(frames)) == frames
