@@ -169,3 +169,12 @@ def winnow_fingerprints(
     for f in out:
         seen[f] = None
     return list(seen)
+
+
+def word_ngram_strings(text: str, n: int) -> list[str]:
+    """Overlapping word n-grams as space-joined strings (the
+    decontamination unit: GPT-3 appendix C uses 13-gram strings)."""
+    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+
+    toks = tokenize(text)
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]

@@ -852,6 +852,13 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Train/test decontamination: corpus docs sharing any word 13-gram
+    with the benchmark subset (doc_id % 7 == 0 stands in for the eval
+    table). Benchmark n-grams broadcast once; corpus side streams."""
+    return dd.contamination_hits(read_docs(sf_dir), benchmark_mod=7, n=13)
+
+
 def q_audio_features(sf_dir: str) -> rd.Dataset:
     """REAL audio decode: a deterministic PCM WAV is encoded per doc
     (functions/wav.py) and fully decoded back — RIFF chunk walk, PCM
@@ -1611,6 +1618,23 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_DECONTAMINATE = f"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 12),
+        i -> array_to_string(ts[i:i+12], ' '))) AS ng
+  FROM tl WHERE len(ts) >= 13
+),
+bng AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 7 = 0)
+SELECT c.doc_id, count(DISTINCT c.ng)::BIGINT AS n_contaminated
+FROM ng c JOIN bng USING (ng)
+WHERE c.doc_id % 7 <> 0
+GROUP BY c.doc_id
+"""
+
 _SQL_AUDIO_FEATURES = """
 WITH s AS (SELECT doc_id, 160 + doc_id % 40 AS n FROM documents),
 samp AS (
@@ -1695,6 +1719,7 @@ QUERIES = {
     "image_decode": q_image_decode,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frames,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -1751,6 +1776,7 @@ ORACLE_SQL = {
     "image_decode": _SQL_IMAGE_DECODE,
     "audio_features": _SQL_AUDIO_FEATURES,
     "video_frame_sample": _SQL_VIDEO_FRAMES,
+    "decontaminate": _SQL_DECONTAMINATE,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -833,3 +833,66 @@ def embedding_dup_pairs(
     return pa.concat_tables(parts).sort_by(
         [("vec_id_a", "ascending"), ("vec_id_b", "ascending")]
     )
+
+
+# --------------------------------------------------------------------------
+# train/test decontamination
+# --------------------------------------------------------------------------
+
+def contamination_hits(
+    docs: rd.Dataset, benchmark_mod: int = 7, n: int = 13
+) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3 appendix-C recipe): flag
+    every corpus doc that shares at least one word ``n``-gram with the
+    benchmark/eval set. Output: (doc_id, n_contaminated) with
+    n_contaminated = count of DISTINCT shared n-grams; benchmark docs
+    themselves are excluded. Membership ``doc_id % benchmark_mod == 0``
+    stands in for the eval-suite table.
+
+    Scale shape: eval suites are tiny next to the corpus (MBs vs TBs),
+    so the benchmark n-gram set is collected once and broadcast via
+    ``ray.put``; the corpus side is a streaming ``map_batches`` that
+    never shuffles. (A corpus-sized right side would use the
+    distributed shingle-groupby path instead — see
+    ``ngram_jaccard_pairs``.) Production would hash n-grams to 64-bit
+    (``shingle.stable_hash64``) to shrink the broadcast; strings are
+    kept here so the DuckDB oracle joins on the exact same keys.
+    """
+    from semantic_pdf_search_engine_ray.functions.shingle import (
+        word_ngram_strings,
+    )
+
+    def bench_ngrams(batch: pa.Table) -> pa.Table:
+        ngs: set[str] = set()
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % benchmark_mod == 0:
+                ngs.update(word_ngram_strings(t, n))
+        return pa.table({"ng": pa.array(sorted(ngs), type=pa.string())})
+
+    parts = ray.get(
+        docs.map_batches(bench_ngrams, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    bench: set[str] = set()
+    for p in parts:
+        bench.update(p.column("ng").to_pylist())
+    bench_ref = ray.put(frozenset(bench))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        out_ids, out_n = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % benchmark_mod == 0:
+                continue
+            shared = {g for g in word_ngram_strings(t, n) if g in bset}
+            if shared:
+                out_ids.append(d)
+                out_n.append(len(shared))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()),
+             "n_contaminated": pa.array(out_n, type=pa.int64())}
+        )
+
+    return docs.map_batches(hits, batch_format="pyarrow")

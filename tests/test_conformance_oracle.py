@@ -43,6 +43,7 @@ SUBSET = [
     "multimodal_decode",
     "audio_features",
     "video_frame_sample",
+    "decontaminate",
 ]
 
 
