@@ -852,6 +852,18 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher/MassiveText repetition signals (integer numerators and
+    denominators; map-side only, no shuffle)."""
+    return ts.gopher_repetition(read_docs(sf_dir))
+
+
+def q_pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction: [EMAIL]/[NUM] placeholders, vectorized RE2
+    replace; compared by md5 of the redacted text."""
+    return ts.pii_redact(read_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str) -> rd.Dataset:
     """Train/test decontamination: corpus docs sharing any word 13-gram
     with the benchmark subset (doc_id % 7 == 0 stands in for the eval
@@ -1618,6 +1630,54 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_GOPHER = f"""
+WITH ln AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lc AS (
+  SELECT doc_id, line, count(*)::BIGINT AS c, strlen(line)::BIGINT AS nb
+  FROM ln GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+         sum(c * nb)::BIGINT AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * nb ELSE 0 END)::BIGINT
+           AS dup_line_chars,
+         sum(CASE WHEN line LIKE '%...' THEN c ELSE 0 END)::BIGINT
+           AS n_ellipsis_lines
+  FROM lc GROUP BY doc_id
+),
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM tl WHERE len(ts) >= 2
+),
+tbc AS (SELECT doc_id, bg, count(*) AS cc FROM tb GROUP BY doc_id, bg),
+tbm AS (SELECT doc_id, max(cc)::BIGINT AS top_bigram_count
+        FROM tbc GROUP BY doc_id)
+SELECT l.doc_id, l.n_lines, l.line_chars, l.dup_line_chars,
+       l.n_ellipsis_lines,
+       coalesce(t.top_bigram_count, 0)::BIGINT AS top_bigram_count
+FROM lagg l LEFT JOIN tbm t USING (doc_id)
+"""
+
+_SQL_PII_REDACT = f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{ts.EMAIL_PATTERN}'))::BIGINT
+         AS n_emails,
+       length(regexp_extract_all(text, '{ts.LONG_DIGIT_RUN_PATTERN}'))::BIGINT
+         AS n_long_digit_runs,
+       md5(regexp_replace(
+             regexp_replace(text, '{ts.EMAIL_PATTERN}', '[EMAIL]', 'g'),
+             '{ts.LONG_DIGIT_RUN_PATTERN}', '[NUM]', 'g'))
+         AS redacted_md5
+FROM documents
+"""
+
 _SQL_DECONTAMINATE = f"""
 WITH tl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
@@ -1720,6 +1780,8 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frames,
     "decontaminate": q_decontaminate,
+    "gopher_repetition": q_gopher_repetition,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLE_SQL = {
@@ -1777,6 +1839,8 @@ ORACLE_SQL = {
     "audio_features": _SQL_AUDIO_FEATURES,
     "video_frame_sample": _SQL_VIDEO_FRAMES,
     "decontaminate": _SQL_DECONTAMINATE,
+    "gopher_repetition": _SQL_GOPHER,
+    "pii_redact": _SQL_PII_REDACT,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -505,3 +505,77 @@ def lang_id(docs: rd.Dataset) -> rd.Dataset:
 
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def gopher_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals from the Gopher/MassiveText filter
+    family (Rae et al. 2021 §A1.1), emitted as INTEGER numerators/
+    denominators (a filter stage derives the ratios; integers keep the
+    distributed result bit-identical to the SQL oracle):
+
+    - line_chars / dup_line_chars: total bytes across lines vs bytes in
+      lines whose exact text occurs more than once (every occurrence
+      counted) — the "fraction of chars in duplicate lines" rule.
+    - n_ellipsis_lines: lines ending in "..." (boilerplate signal).
+    - top_bigram_count: occurrences of the most frequent word bigram —
+      the "fraction of chars in most common n-gram" rule's numerator.
+
+    Map-side only: every signal is per-document, so the whole operator
+    is one streaming map_batches — no shuffle at any corpus size."""
+    from collections import Counter
+
+    out = {k: [] for k in ("doc_id", "n_lines", "line_chars",
+                           "dup_line_chars", "n_ellipsis_lines",
+                           "top_bigram_count")}
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        lines = text.split("\n")
+        cnt = Counter(lines)
+        out["doc_id"].append(doc_id)
+        out["n_lines"].append(len(lines))
+        out["line_chars"].append(sum(len(l.encode()) for l in lines))
+        out["dup_line_chars"].append(
+            sum(len(l.encode()) for l in lines if cnt[l] > 1)
+        )
+        out["n_ellipsis_lines"].append(
+            sum(1 for l in lines if l.endswith("..."))
+        )
+        toks = tokenize(text)
+        bg = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        out["top_bigram_count"].append(max(bg.values()) if bg else 0)
+    return pa.table(
+        {k: pa.array(v, type=pa.int64()) for k, v in out.items()}
+    )
+
+
+def gopher_repetition(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(gopher_repetition_batch, batch_format="pyarrow")
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_emails, n_long_digit_runs, redacted_md5): emails then
+    long digit runs replaced with [EMAIL] / [NUM] placeholders, fully
+    vectorized (Arrow RE2 kernels — the same regex engine DuckDB's
+    regexp_replace uses, so the oracle md5-matches the redacted text).
+    Email replacement runs FIRST: an email's local/domain parts may
+    contain digit runs, and the order is part of the contract."""
+    text = batch.column("text")
+    n_email = pc.count_substring_regex(text, EMAIL_PATTERN).cast(pa.int64())
+    n_dig = pc.count_substring_regex(
+        text, LONG_DIGIT_RUN_PATTERN
+    ).cast(pa.int64())
+    red = pc.replace_substring_regex(text, EMAIL_PATTERN, "[EMAIL]")
+    red = pc.replace_substring_regex(red, LONG_DIGIT_RUN_PATTERN, "[NUM]")
+    md5 = [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()]
+    return pa.table(
+        {"doc_id": batch.column("doc_id").cast(pa.int64()),
+         "n_emails": n_email,
+         "n_long_digit_runs": n_dig,
+         "redacted_md5": pa.array(md5, type=pa.string())}
+    )
+
+
+def pii_redact(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(pii_redact_batch, batch_format="pyarrow")

@@ -44,6 +44,8 @@ SUBSET = [
     "audio_features",
     "video_frame_sample",
     "decontaminate",
+    "gopher_repetition",
+    "pii_redact",
 ]
 
 
