@@ -39,6 +39,7 @@ from semantic_pdf_search_engine_ray.functions.codec import (
 )
 from semantic_pdf_search_engine_ray.functions.textnorm import clean_text_robust
 from semantic_pdf_search_engine_ray.pipelines import dedup as dd
+from semantic_pdf_search_engine_ray.pipelines import sketch as sk
 from semantic_pdf_search_engine_ray.pipelines import similarity as sim
 from semantic_pdf_search_engine_ray.pipelines import textstats as ts
 from semantic_pdf_search_engine_ray.pipelines import windows as win
@@ -852,6 +853,12 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Exact global top-20 terms via Misra-Gries sketch + exact recount
+    (no vocabulary-sized shuffle; see pipelines/sketch.py)."""
+    return sk.heavy_hitter_terms(read_docs(sf_dir), k=20)
+
+
 def q_gopher_repetition(sf_dir: str) -> rd.Dataset:
     """Gopher/MassiveText repetition signals (integer numerators and
     denominators; map-side only, no shuffle)."""
@@ -1630,6 +1637,17 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tc AS (SELECT term, count(*)::BIGINT AS count FROM toks GROUP BY term)
+SELECT row_number() OVER (ORDER BY count DESC, term ASC)::BIGINT AS rank,
+       term, count
+FROM tc ORDER BY count DESC, term ASC LIMIT 20
+"""
+
 _SQL_GOPHER = f"""
 WITH ln AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
@@ -1782,6 +1800,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "gopher_repetition": q_gopher_repetition,
     "pii_redact": q_pii_redact,
+    "heavy_hitter_terms": q_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -1841,6 +1860,7 @@ ORACLE_SQL = {
     "decontaminate": _SQL_DECONTAMINATE,
     "gopher_repetition": _SQL_GOPHER,
     "pii_redact": _SQL_PII_REDACT,
+    "heavy_hitter_terms": _SQL_HEAVY_HITTERS,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -46,6 +46,7 @@ SUBSET = [
     "decontaminate",
     "gopher_repetition",
     "pii_redact",
+    "heavy_hitter_terms",
 ]
 
 

@@ -1,0 +1,49 @@
+"""Misra-Gries sketch kernel: survival guarantee + merge-superset
+property that heavy_hitter_terms' exactness rests on."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from semantic_pdf_search_engine_ray.pipelines.sketch import _misra_gries
+
+
+def test_mg_keeps_every_term_above_threshold():
+    rng = random.Random(7)
+    # zipf-ish stream: term i drawn with weight 1/(i+1)
+    vocab = [f"t{i}" for i in range(500)]
+    weights = [1.0 / (i + 1) for i in range(500)]
+    stream = rng.choices(vocab, weights=weights, k=20000)
+    slots = 64
+    kept = _misra_gries(iter(stream), slots)
+    true = Counter(stream)
+    thresh = len(stream) / slots
+    for term, c in true.items():
+        if c > thresh:
+            assert term in kept, (term, c, thresh)
+    # counters never overestimate and never underestimate by > N/slots
+    for term, est in kept.items():
+        assert est <= true[term]
+        assert true[term] - est <= thresh
+
+
+def test_mg_batch_union_covers_global_heavies():
+    """Averaging argument: a term above total/slots globally must
+    survive in at least one per-batch summary."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    weights = [1.0 / (i + 1) for i in range(300)]
+    batches = [rng.choices(vocab, weights=weights, k=4000)
+               for _ in range(8)]
+    slots = 64
+    union = set()
+    for b in batches:
+        union.update(_misra_gries(iter(b), slots))
+    total = Counter()
+    for b in batches:
+        total.update(b)
+    n = sum(total.values())
+    for term, c in total.items():
+        if c > n / slots:
+            assert term in union, (term, c, n / slots)
