@@ -96,13 +96,11 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
     and its ``materialize()`` pins the extracted corpus in the object
     store — acceptable for per-shard builds (the sharded path builds
     each shard independently, so the sort never spans the whole corpus)
-    but not for a single 10^12-doc monolith. The monolith design is
-    sampled-boundary rank assignment: sample ~100k urls, pick P-1
-    boundary urls, hash-partition rows into those url ranges, sort each
-    range locally, count kept docs per range, prefix-sum the P counts on
-    the driver (tiny) and assign ranks range-locally — same determinism,
-    no global materialize. Not built here because every consumer routes
-    through the sharded layout first.
+    but not for a single 10^12-doc monolith. For that case use
+    ``assign_doc_ids_sampled`` below — sampled-boundary rank assignment
+    with the same output contract (bit-identity pinned by
+    tests/test_build_query.py), no global sort, no corpus-sized
+    materialize.
     """
     sorted_ds = extracted.sort(["url", "warc_ts"]).materialize()
 
@@ -141,6 +139,138 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
         return kept.append_column("doc_id", pa.array(ranks, type=pa.int64()))
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def assign_doc_ids_sampled(
+    extracted: rd.Dataset,
+    spill_dir: str | None = None,
+    n_ranges: int = 32,
+) -> rd.Dataset:
+    """Same output contract as ``assign_doc_ids`` (dedup by url keeping
+    max warc_ts; ``doc_id`` = global url rank) WITHOUT a global sort or
+    a corpus-sized ``materialize()`` — the monolith-scale path the
+    sort-based docstring promises.
+
+    Terasort-style plan; the output is boundary-INVARIANT (doc_id
+    depends only on the global url order, never on where the range cuts
+    land), which is what makes the bit-identity test against the sort
+    path meaningful:
+
+    1. sample urls by stable hash (bounded, ~1/64 of distinct urls),
+       pick ``n_ranges - 1`` boundary urls at sample quantiles;
+    2. spill rows into per-range parquet dirs (url ranges, so every
+       copy of a url lands in ONE range — dedup stays range-local);
+    3. per range (parallel Ray tasks): Arrow-sort by (url, warc_ts),
+       keep the last row of each url run, write back with a range-local
+       rank; the task returns only its kept-doc COUNT;
+    4. prefix-sum the ``n_ranges`` counts on the driver (tiny) and add
+       ``doc_id = range_offset + local_rank`` in a streaming pass.
+
+    Nothing corpus-sized ever sits in the object store: each range is
+    one worker's sort, and the driver handles ``n_ranges`` integers.
+    ``spill_dir`` holds the intermediate parquet (caller-owned; a /tmp
+    dir is created when not given — at cluster scale point this at the
+    job's scratch filesystem)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from semantic_pdf_search_engine_ray.functions.shingle import (
+        stable_hash64,
+    )
+
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix="spse_docid_spill_")
+    raw_dir = os.path.join(spill_dir, "raw")
+    dedup_dir = os.path.join(spill_dir, "dedup")
+    for d in (raw_dir, dedup_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+
+    def sample_urls(batch: pa.Table) -> pa.Table:
+        urls = [u for u in set(batch.column("url").to_pylist())
+                if stable_hash64(u) % 64 == 0]
+        return pa.table({"url": pa.array(sorted(urls), type=pa.string())})
+
+    sample: set[str] = set()
+    for part in ray.get(
+        extracted.map_batches(sample_urls, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        sample.update(part.column("url").to_pylist())
+    ordered = sorted(sample)
+    bounds = [
+        ordered[i * len(ordered) // n_ranges]
+        for i in range(1, n_ranges)
+    ] if ordered else []
+    bounds_arr = np.array(bounds, dtype=object)
+
+    def spill(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_numpy(zero_copy_only=False)
+        rng = np.searchsorted(bounds_arr, urls, side="right") \
+            if len(bounds_arr) else np.zeros(len(urls), dtype=np.int64)
+        for r in np.unique(rng):
+            sub = batch.filter(pa.array(rng == r))
+            part_dir = os.path.join(raw_dir, f"rng={int(r)}")
+            os.makedirs(part_dir, exist_ok=True)
+            pq.write_table(
+                sub, os.path.join(part_dir, f"{uuid.uuid4().hex}.parquet")
+            )
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
+
+    # drain the spill pass (only per-batch row counts flow back)
+    extracted.map_batches(spill, batch_format="pyarrow").count()
+
+    @ray.remote
+    def dedup_range(r: int) -> int:
+        pa.set_cpu_count(1)  # 1 task = 1 core; don't thrash the others
+        part_dir = os.path.join(raw_dir, f"rng={r}")
+        if not os.path.isdir(part_dir):
+            return 0
+        files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+                 if f.endswith(".parquet")]
+        if not files:
+            return 0
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = t.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        is_last = np.concatenate((urls[1:] != urls[:-1], [True])) \
+            if len(urls) else np.array([], dtype=bool)
+        kept = t.filter(pa.array(is_last))
+        kept = kept.append_column(
+            "local_rank",
+            pa.array(np.arange(kept.num_rows, dtype=np.int64)),
+        ).append_column(
+            "rng", pa.array(np.full(kept.num_rows, r, dtype=np.int64))
+        )
+        pq.write_table(kept, os.path.join(dedup_dir, f"rng_{r}.parquet"))
+        return kept.num_rows
+
+    counts = ray.get([dedup_range.remote(r) for r in range(n_ranges)])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rng = batch.column("rng").to_numpy()
+        local = batch.column("local_rank").to_numpy()
+        doc_id = offsets[rng] + local
+        return batch.drop_columns(["rng", "local_rank"]).append_column(
+            "doc_id", pa.array(doc_id, type=pa.int64())
+        )
+
+    files = [os.path.join(dedup_dir, f) for f in sorted(os.listdir(dedup_dir))
+             if f.endswith(".parquet")]
+    if not files:
+        schema = extracted.schema().base_schema.append(
+            pa.field("doc_id", pa.int64())
+        )
+        return rd.from_arrow(schema.empty_table())
+    return rd.read_parquet(files).map_batches(
+        finalize, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -158,3 +158,42 @@ def test_reader_loads_posting_blobs_lazily(built_index):
     total_rgs = len(reader._rg_file)
     if total_rgs > 1:
         assert touched < total_rgs  # ...but not the whole index
+
+
+def test_sampled_doc_id_assignment_bit_identical(ray_session, tiny_pages,
+                                                 tmp_path_factory):
+    """assign_doc_ids_sampled (terasort-style, no global sort/materialize)
+    must produce the exact (url, warc_ts, doc_id) mapping of the
+    sort-based path — the doc_id contract is boundary-invariant."""
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        assign_doc_ids,
+        assign_doc_ids_sampled,
+    )
+    from semantic_pdf_search_engine_ray.stages.extract import ExtractHtml
+
+    def extracted():
+        return rd.read_parquet(tiny_pages).repartition(7).map_batches(
+            ExtractHtml(), batch_format="pyarrow", batch_size=41
+        )
+
+    cols = ["url", "warc_ts", "doc_id", "text"]
+
+    def canon(ds):
+        return (
+            ds.to_pandas()[cols]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    base = canon(assign_doc_ids(extracted()))
+    spill = str(tmp_path_factory.mktemp("docid_spill"))
+    samp = canon(assign_doc_ids_sampled(extracted(), spill_dir=spill,
+                                        n_ranges=5))
+    assert base.equals(samp)
+    # and with a degenerate single range (empty boundary sample path)
+    spill2 = str(tmp_path_factory.mktemp("docid_spill2"))
+    samp1 = canon(assign_doc_ids_sampled(extracted(), spill_dir=spill2,
+                                         n_ranges=1))
+    assert base.equals(samp1)
