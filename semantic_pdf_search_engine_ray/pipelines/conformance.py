@@ -853,6 +853,15 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_token_pack(sf_dir: str) -> rd.Dataset:
+    """GPT-style sequence packing positions via distributed prefix sum
+    (pipelines/packing.py): doc_id-ordered token cumsum, 2048-token
+    sequences."""
+    from semantic_pdf_search_engine_ray.pipelines.packing import token_pack
+
+    return token_pack(read_docs(sf_dir), capacity=2048)
+
+
 def q_heavy_hitters(sf_dir: str) -> pa.Table:
     """Exact global top-20 terms via Misra-Gries sketch + exact recount
     (no vocabulary-sized shuffle; see pipelines/sketch.py)."""
@@ -1637,6 +1646,26 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_TOKEN_PACK = f"""
+WITH tc AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_pos
+  FROM tc
+)
+SELECT doc_id, n_tokens, start_pos,
+       (start_pos // 2048)::BIGINT AS seq_first,
+       ((start_pos + n_tokens - 1) // 2048)::BIGINT AS seq_last
+FROM cum WHERE n_tokens > 0
+"""
+
 _SQL_HEAVY_HITTERS = f"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -1801,6 +1830,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "pii_redact": q_pii_redact,
     "heavy_hitter_terms": q_heavy_hitters,
+    "token_pack": q_token_pack,
 }
 
 ORACLE_SQL = {
@@ -1861,6 +1891,7 @@ ORACLE_SQL = {
     "gopher_repetition": _SQL_GOPHER,
     "pii_redact": _SQL_PII_REDACT,
     "heavy_hitter_terms": _SQL_HEAVY_HITTERS,
+    "token_pack": _SQL_TOKEN_PACK,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

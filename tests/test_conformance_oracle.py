@@ -47,6 +47,7 @@ SUBSET = [
     "gopher_repetition",
     "pii_redact",
     "heavy_hitter_terms",
+    "token_pack",
 ]
 
 
