@@ -853,6 +853,19 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_cluster_assign(sf_dir: str) -> rd.Dataset:
+    """Embedding-space cluster assignment against pinned centroids (the
+    8 lowest-vec_id vectors); 6-dp-rounded argmax on both engines."""
+    return sim.cluster_assign(embeddings_path(sf_dir), n_clusters=8)
+
+
+def q_semdedup_pairs(sf_dir: str) -> pa.Table:
+    """SemDeDup: near-dup pairs within clusters only (one cluster-key
+    shuffle + per-cluster local quadratic)."""
+    return sim.semdedup_pairs(embeddings_path(sf_dir), n_clusters=8,
+                              threshold=EMB_DUP_THRESHOLD)
+
+
 def q_token_pack(sf_dir: str) -> rd.Dataset:
     """GPT-style sequence packing positions via distributed prefix sum
     (pipelines/packing.py): doc_id-ordered token cumsum, 2048-token
@@ -1646,6 +1659,56 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_CLUSTER_ASSIGN = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+sims AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cluster::BIGINT AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cluster ASC) AS r
+  FROM sims
+) WHERE r = 1
+"""
+
+_SQL_SEMDEDUP = f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+sims AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cluster ASC) AS r
+    FROM sims
+  ) WHERE r = 1
+)
+SELECT a1.cluster::BIGINT AS cluster, e1.vec_id AS vec_id_a,
+       e2.vec_id AS vec_id_b,
+       round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                    e2.embedding::DOUBLE[]), 6) AS cosine
+FROM assign a1
+JOIN assign a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                             e2.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+"""
+
 _SQL_TOKEN_PACK = f"""
 WITH tc AS (
   SELECT doc_id,
@@ -1831,6 +1894,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "heavy_hitter_terms": q_heavy_hitters,
     "token_pack": q_token_pack,
+    "embedding_cluster_assign": q_cluster_assign,
+    "semdedup_pairs": q_semdedup_pairs,
 }
 
 ORACLE_SQL = {
@@ -1892,6 +1957,8 @@ ORACLE_SQL = {
     "pii_redact": _SQL_PII_REDACT,
     "heavy_hitter_terms": _SQL_HEAVY_HITTERS,
     "token_pack": _SQL_TOKEN_PACK,
+    "embedding_cluster_assign": _SQL_CLUSTER_ASSIGN,
+    "semdedup_pairs": _SQL_SEMDEDUP,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

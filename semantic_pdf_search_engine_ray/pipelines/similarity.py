@@ -370,3 +370,129 @@ def ann_ivf_topk(
         scan_stats["cells_probed"] = len(needed)
         scan_stats["n_cells"] = int(meta["n_cells"])
     return _merge_topk(parts, k) if parts else TOPK_SCHEMA.empty_table()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style embedding curation: cluster assignment + in-cluster pairs
+# --------------------------------------------------------------------------
+
+def cluster_assign(
+    emb_path: str | list[str],
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """(vec_id, cluster): nearest of ``n_clusters`` PINNED centroids (the
+    lowest-vec_id vectors — deterministic and SQL-expressible, unlike an
+    iterated Lloyd fit; ``kmeans_centroids`` remains the quantizer for
+    the IVF path). Cosine is rounded to 6 dp BEFORE the argmax on both
+    engines, ties break toward the lower cluster id — so a distributed
+    run and the oracle pick identical clusters even at near-ties.
+
+    Scale shape: k x dim centroids broadcast once; assignment is one
+    streaming map_batches."""
+    from semantic_pdf_search_engine_ray.functions.num import (
+        round6_half_away,
+    )
+
+    _cids, cmat = load_query_matrix(emb_path, n_clusters, id_col, emb_col)
+    cref = ray.put(cmat)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ids = batch.column(id_col).to_numpy()
+        mat = _normalize(
+            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        )
+        cos = mat @ cm.T
+        r6 = np.vectorize(round6_half_away)(cos)
+        # np.argmax returns the FIRST max -> lowest cluster id on ties
+        cl = np.argmax(r6, axis=1).astype(np.int64)
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()),
+             "cluster": pa.array(cl, type=pa.int64())}
+        )
+
+    return rd.read_parquet(emb_path, columns=[id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def semdedup_pairs(
+    emb_path: str | list[str],
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023) shape: near-duplicate pairs computed
+    WITHIN clusters only — (cluster, vec_id_a, vec_id_b, cosine).
+
+    This is the scale path the global ``dedup.embedding_dup_pairs``
+    baseline points at: one hash shuffle on the cluster key, then each
+    cluster's quadratic runs locally on ~N/k vectors (vs N globally).
+    Recall loss is exactly the pairs that straddle a cluster boundary —
+    the conformance fixtures' near-dup pairs are same-cluster by
+    construction of the assignment, so the SQL oracle is exact here."""
+    from semantic_pdf_search_engine_ray.functions.num import (
+        round6_half_away,
+    )
+
+    # assignment is computed IN the batch that already holds the vector
+    # (arrow joins reject list<float> payload columns, and a join would
+    # be a second shuffle anyway — the cluster groupby is the only one)
+    _cids, cmat = load_query_matrix(emb_path, n_clusters, id_col, emb_col)
+    cref = ray.put(cmat)
+
+    def assign_keep_vec(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        mat = _normalize(
+            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        )
+        r6 = np.vectorize(round6_half_away)(mat @ cm.T)
+        cl = np.argmax(r6, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(cl, type=pa.int64()))
+
+    joined = rd.read_parquet(emb_path, columns=[id_col, emb_col]).map_batches(
+        assign_keep_vec, batch_format="pyarrow"
+    )
+
+    def pairs_of_cluster(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _normalize(
+            np.array(group.column(emb_col).to_pylist(), dtype=np.float64)
+        )[order]
+        cos = mat @ mat.T
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for i in range(n):
+            # raw-cosine threshold, rounded output — the same convention
+            # (and engine-agreement caveat) as dedup.embedding_dup_pairs
+            hits = np.flatnonzero(cos[i, i + 1:] >= threshold)
+            for off in hits:
+                j = i + 1 + off
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_c.append(round6_half_away(float(cos[i, j])))
+        cl = group.column("cluster")[0].as_py() if group.num_rows else 0
+        return pa.table(
+            {"cluster": pa.array([cl] * len(out_a), type=pa.int64()),
+             "vec_id_a": pa.array(out_a, type=pa.int64()),
+             "vec_id_b": pa.array(out_b, type=pa.int64()),
+             "cosine": pa.array(out_c, type=pa.float64())}
+        )
+
+    out = joined.groupby("cluster").map_groups(
+        pairs_of_cluster, batch_format="pyarrow"
+    )
+    parts = [p for p in ray.get(out.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return pa.schema(
+            [("cluster", pa.int64()), ("vec_id_a", pa.int64()),
+             ("vec_id_b", pa.int64()), ("cosine", pa.float64())]
+        ).empty_table()
+    return pa.concat_tables(parts).sort_by(
+        [("vec_id_a", "ascending"), ("vec_id_b", "ascending")]
+    )

@@ -48,6 +48,8 @@ SUBSET = [
     "pii_redact",
     "heavy_hitter_terms",
     "token_pack",
+    "embedding_cluster_assign",
+    "semdedup_pairs",
 ]
 
 
