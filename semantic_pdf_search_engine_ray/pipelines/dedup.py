@@ -876,7 +876,9 @@ def contamination_hits(
     )
     bench: set[str] = set()
     for p in parts:
-        bench.update(p.column("ng").to_pylist())
+        # a fully-empty input dataset yields schema-less empty blocks
+        if "ng" in p.schema.names:
+            bench.update(p.column("ng").to_pylist())
     bench_ref = ray.put(frozenset(bench))
 
     def hits(batch: pa.Table) -> pa.Table:

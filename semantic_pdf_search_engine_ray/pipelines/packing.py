@@ -72,7 +72,13 @@ def token_pack(docs: rd.Dataset, capacity: int = 2048) -> rd.Dataset:
     meta = sorted_ds.map_batches(
         _pack_block_meta, batch_format="pyarrow", batch_size=None
     ).take_all()
-    meta = [m for m in meta if m["n_rows"] > 0]
+    meta = [m for m in meta if m.get("n_rows", 0) > 0]
+    if not meta:  # empty corpus (Ray drops the schema of empty datasets)
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], type=pa.int64())
+             for c in ("doc_id", "n_tokens", "start_pos",
+                       "seq_first", "seq_last")}
+        ))
     meta.sort(key=lambda m: m["first_doc_id"])  # doc_id unique -> total
     offsets: dict[tuple[int, int], int] = {}
     running = 0

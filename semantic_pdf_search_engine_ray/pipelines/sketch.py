@@ -81,7 +81,15 @@ def heavy_hitter_terms(
     )
     candidates: set[str] = set()
     for p in cand_parts:
-        candidates.update(p.column("term").to_pylist())
+        # a fully-empty input dataset yields schema-less empty blocks
+        if "term" in p.schema.names:
+            candidates.update(p.column("term").to_pylist())
+    if not candidates:  # empty / token-less corpus: nothing to recount
+        return pa.table(
+            {"rank": pa.array([], type=pa.int64()),
+             "term": pa.array([], type=pa.string()),
+             "count": pa.array([], type=pa.int64())}
+        )
     cand_ref = ray.put(frozenset(candidates))
 
     def recount(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,100 @@
+"""Edge hardening for the round-2 training-data operators: empty and
+token-less corpora must not crash and must yield zero rows. (Ray Data
+itself drops the schema of fully-empty datasets and `to_pandas()` on
+an all-empty dataset returns a column-less frame — the assertions below
+use Dataset.schema()/count(), which do keep the contract visible.)"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+def _empty_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+    }))
+
+
+def _tokenless_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["!!!", "…—…"], type=pa.string()),
+    }))
+
+
+def test_token_pack_empty_corpus(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.packing import token_pack
+
+    out = token_pack(_empty_docs(), capacity=64)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "n_tokens", "start_pos",
+                                  "seq_first", "seq_last"]
+
+
+def test_token_pack_tokenless_docs(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.packing import token_pack
+
+    out = token_pack(_tokenless_docs(), capacity=64)
+    assert out.count() == 0  # token-less docs occupy no stream positions
+    assert out.schema().names == ["doc_id", "n_tokens", "start_pos",
+                                  "seq_first", "seq_last"]
+
+
+@pytest.mark.parametrize("docs_fn", [_empty_docs, _tokenless_docs])
+def test_heavy_hitters_degenerate(ray_session, docs_fn):
+    from semantic_pdf_search_engine_ray.pipelines.sketch import (
+        heavy_hitter_terms,
+    )
+
+    out = heavy_hitter_terms(docs_fn(), k=5)
+    assert out.num_rows == 0
+    assert out.schema.names == ["rank", "term", "count"]
+
+
+@pytest.mark.parametrize("docs_fn", [_empty_docs, _tokenless_docs])
+def test_contamination_degenerate(ray_session, docs_fn):
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        contamination_hits,
+    )
+
+    assert contamination_hits(docs_fn(), benchmark_mod=7).count() == 0
+
+
+def test_gopher_and_pii_tokenless(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.textstats import (
+        gopher_repetition,
+        pii_redact,
+    )
+
+    g = gopher_repetition(_tokenless_docs()).to_pandas()
+    assert g["top_bigram_count"].tolist() == [0, 0]
+    assert g["n_lines"].tolist() == [1, 1]
+    p = pii_redact(_tokenless_docs()).to_pandas()
+    assert p["n_emails"].tolist() == [0, 0]
+
+
+def test_semdedup_no_pairs_schema(ray_session, tmp_path):
+    """Orthogonal vectors: zero pairs, stable empty-table schema."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from semantic_pdf_search_engine_ray.pipelines.similarity import (
+        semdedup_pairs,
+    )
+
+    vecs = np.eye(6, 8).tolist()
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+    }), path)
+    out = semdedup_pairs(path, n_clusters=3, threshold=0.9)
+    assert out.num_rows == 0
+    assert out.schema.names == ["cluster", "vec_id_a", "vec_id_b",
+                                "cosine"]
