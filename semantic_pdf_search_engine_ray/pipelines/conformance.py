@@ -853,6 +853,12 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_dedup_lines(sf_dir: str) -> rd.Dataset:
+    """Intra-doc duplicate-line removal keeping first occurrence (the
+    fix-up paired with gopher_repetition's measurement)."""
+    return ts.dedup_lines(read_docs(sf_dir))
+
+
 def q_cluster_assign(sf_dir: str) -> rd.Dataset:
     """Embedding-space cluster assignment against pinned centroids (the
     8 lowest-vec_id vectors); 6-dp-rounded argmax on both engines."""
@@ -1659,6 +1665,25 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_DEDUP_LINES = """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+ln AS (
+  SELECT doc_id, unnest(l) AS line,
+         unnest(generate_series(1, len(l))) AS i
+  FROM ls
+),
+fo AS (SELECT doc_id, line, min(i) AS mi FROM ln GROUP BY doc_id, line),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_lines_in
+        FROM ln GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+         md5(string_agg(line, chr(10) ORDER BY mi)) AS cleaned_md5
+  FROM fo GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_lines_in, a.n_lines_kept, a.cleaned_md5
+FROM cnt c JOIN agg a USING (doc_id)
+"""
+
 _SQL_CLUSTER_ASSIGN = """
 WITH c AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
@@ -1896,6 +1921,7 @@ QUERIES = {
     "token_pack": q_token_pack,
     "embedding_cluster_assign": q_cluster_assign,
     "semdedup_pairs": q_semdedup_pairs,
+    "dedup_lines": q_dedup_lines,
 }
 
 ORACLE_SQL = {
@@ -1959,6 +1985,7 @@ ORACLE_SQL = {
     "token_pack": _SQL_TOKEN_PACK,
     "embedding_cluster_assign": _SQL_CLUSTER_ASSIGN,
     "semdedup_pairs": _SQL_SEMDEDUP,
+    "dedup_lines": _SQL_DEDUP_LINES,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -579,3 +579,33 @@ def pii_redact_batch(batch: pa.Table) -> pa.Table:
 
 def pii_redact(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+def dedup_lines_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_lines_in, n_lines_kept, cleaned_md5): duplicate lines
+    removed keeping the FIRST occurrence — the fix-up counterpart of
+    ``gopher_repetition``'s duplicate-line measurement. Compared by md5
+    of the cleaned text (the same convention as ``normalize``/
+    ``pii_redact``); map-side only, no shuffle."""
+    ids, n_in, n_kept, md5s = [], [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        lines = text.split("\n")
+        seen: dict[str, None] = {}
+        for l in lines:
+            seen.setdefault(l)
+        cleaned = "\n".join(seen)
+        ids.append(doc_id)
+        n_in.append(len(lines))
+        n_kept.append(len(seen))
+        md5s.append(hashlib.md5(cleaned.encode()).hexdigest())
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "n_lines_in": pa.array(n_in, type=pa.int64()),
+         "n_lines_kept": pa.array(n_kept, type=pa.int64()),
+         "cleaned_md5": pa.array(md5s, type=pa.string())}
+    )
+
+
+def dedup_lines(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(dedup_lines_batch, batch_format="pyarrow")

@@ -50,6 +50,7 @@ SUBSET = [
     "token_pack",
     "embedding_cluster_assign",
     "semdedup_pairs",
+    "dedup_lines",
 ]
 
 
