@@ -853,6 +853,24 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_decontaminate_apply(sf_dir: str) -> rd.Dataset:
+    """Cleaned corpus after benchmark decontamination (doc_id + chars
+    kept): non-benchmark docs with zero shared 13-grams."""
+    out = dd.apply_decontamination(read_docs(sf_dir), benchmark_mod=7,
+                                   n=13)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "text_chars": pc.utf8_length(batch.column("text")).cast(
+                 pa.int64())}
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_dedup_lines(sf_dir: str) -> rd.Dataset:
     """Intra-doc duplicate-line removal keeping first occurrence (the
     fix-up paired with gopher_repetition's measurement)."""
@@ -1665,6 +1683,25 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_DECONTAMINATE_APPLY = f"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 12),
+        i -> array_to_string(ts[i:i+12], ' '))) AS ng
+  FROM tl WHERE len(ts) >= 13
+),
+bng AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 7 = 0),
+bad AS (
+  SELECT DISTINCT c.doc_id FROM ng c JOIN bng USING (ng)
+  WHERE c.doc_id % 7 <> 0
+)
+SELECT doc_id, length(text)::BIGINT AS text_chars FROM documents
+WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
 _SQL_DEDUP_LINES = """
 WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
 ln AS (
@@ -1922,6 +1959,7 @@ QUERIES = {
     "embedding_cluster_assign": q_cluster_assign,
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_lines": q_dedup_lines,
+    "decontaminate_apply": q_decontaminate_apply,
 }
 
 ORACLE_SQL = {
@@ -1986,6 +2024,7 @@ ORACLE_SQL = {
     "embedding_cluster_assign": _SQL_CLUSTER_ASSIGN,
     "semdedup_pairs": _SQL_SEMDEDUP,
     "dedup_lines": _SQL_DEDUP_LINES,
+    "decontaminate_apply": _SQL_DECONTAMINATE_APPLY,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

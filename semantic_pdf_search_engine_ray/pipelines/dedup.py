@@ -898,3 +898,31 @@ def contamination_hits(
         )
 
     return docs.map_batches(hits, batch_format="pyarrow")
+
+
+def apply_decontamination(
+    docs: rd.Dataset, benchmark_mod: int = 7, n: int = 13
+) -> rd.Dataset:
+    """The cleaned corpus after benchmark decontamination: every
+    non-benchmark doc with zero shared ``n``-grams (the apply
+    counterpart of ``contamination_hits``, mirroring
+    ``apply_near_dedup``'s shape). The contaminated-id set is tiny by
+    construction (it is bounded by benchmark size x near-dup density),
+    so it is collected once and broadcast into a streaming filter — the
+    corpus never shuffles."""
+    hits = contamination_hits(docs, benchmark_mod=benchmark_mod, n=n)
+    bad: set[int] = set()
+    for p in ray.get(hits.to_arrow_refs()):
+        if "doc_id" in p.schema.names:
+            bad.update(p.column("doc_id").to_pylist())
+    bad_ref = ray.put(frozenset(bad))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = ray.get(bad_ref)
+        mask = [
+            (d % benchmark_mod != 0) and (d not in b)
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -51,6 +51,7 @@ SUBSET = [
     "embedding_cluster_assign",
     "semdedup_pairs",
     "dedup_lines",
+    "decontaminate_apply",
 ]
 
 
