@@ -853,6 +853,12 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Composed C4/Gopher keep filter: quality + lang evidence +
+    repetition thresholds in ONE fused actor-pool pass."""
+    return ts.quality_filter_apply(read_docs(sf_dir))
+
+
 def q_decontaminate_apply(sf_dir: str) -> rd.Dataset:
     """Cleaned corpus after benchmark decontamination (doc_id + chars
     kept): non-benchmark docs with zero shared 13-grams."""
@@ -1683,6 +1689,65 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_QUALITY_FILTER = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+lang AS (
+  SELECT doc_id,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['en'])})))::BIGINT AS en_hits,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['de'])})))::BIGINT AS de_hits,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['fr'])})))::BIGINT AS fr_hits,
+    len(list_filter(ts, x -> x IN ({_in_list(ts.STOPWORDS['es'])})))::BIGINT AS es_hits
+  FROM toks
+),
+pl AS (
+  SELECT doc_id,
+    CASE WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+         WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         WHEN fr_hits >= es_hits THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM lang
+),
+qual AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tokens,
+         (length(trim(text, {_TRIM_CHARS})) >= {ts.QUALITY_MIN_CHARS}
+          AND len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) >= {ts.QUALITY_MIN_WORDS}
+          AND CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '{ts.ALPHA_CHAR_PATTERN}')) * 1.0 / length(text)
+              ELSE 0.0 END >= {ts.QUALITY_MIN_ALPHA_RATIO}) AS is_quality
+  FROM documents
+),
+ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+lc AS (SELECT doc_id, line, count(*)::BIGINT AS c, strlen(line)::BIGINT AS nb
+       FROM ln GROUP BY doc_id, line),
+gop AS (
+  SELECT doc_id,
+         sum(c * nb)::BIGINT AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * nb ELSE 0 END)::BIGINT AS dup_line_chars
+  FROM lc GROUP BY doc_id
+),
+tb AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+),
+tbm AS (SELECT doc_id, max(cnt)::BIGINT AS top_bigram_count FROM (
+          SELECT doc_id, bg, count(*) AS cnt FROM tb GROUP BY doc_id, bg)
+        GROUP BY doc_id)
+SELECT q.doc_id, q.n_tokens, p.pred_lang
+FROM qual q
+JOIN pl p USING (doc_id)
+JOIN gop g USING (doc_id)
+LEFT JOIN tbm t USING (doc_id)
+WHERE q.is_quality AND p.pred_lang <> 'und'
+  AND g.dup_line_chars * 2 <= g.line_chars
+  AND coalesce(t.top_bigram_count, 0) * 10 <= q.n_tokens
+"""
+
 _SQL_DECONTAMINATE_APPLY = f"""
 WITH tl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
@@ -1960,6 +2025,7 @@ QUERIES = {
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_lines": q_dedup_lines,
     "decontaminate_apply": q_decontaminate_apply,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLE_SQL = {
@@ -2025,6 +2091,7 @@ ORACLE_SQL = {
     "semdedup_pairs": _SQL_SEMDEDUP,
     "dedup_lines": _SQL_DEDUP_LINES,
     "decontaminate_apply": _SQL_DECONTAMINATE_APPLY,
+    "quality_filter": _SQL_QUALITY_FILTER,
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -609,3 +609,56 @@ def dedup_lines_batch(batch: pa.Table) -> pa.Table:
 
 def dedup_lines(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(dedup_lines_batch, batch_format="pyarrow")
+
+
+class QualityFilterStage:
+    """C4/Gopher-style composed keep filter — the operators above wired
+    into one verdict, the way a production curation pipeline actually
+    runs them (one fused pass over the text, not three jobs):
+
+    keep = is_quality (M5 doc-level rule)
+         AND pred_lang != 'und' (any stopword evidence)
+         AND dup_line_chars * 2 <= line_chars (< half of bytes in
+             repeated lines — Gopher A1.1)
+         AND top_bigram_count * 10 <= n_tokens (top bigram < 10% of
+             tokens)
+
+    All conditions are integer/exact, so the composition carries a SQL
+    oracle. Actor-pool stage: the stopword automata live in __init__.
+    Output: (doc_id, n_tokens, pred_lang) for kept docs."""
+
+    def __init__(self):
+        self._lang = LangIdStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        g = gopher_repetition_batch(batch)
+        lang = self._lang(batch)
+        keep = pc.and_(
+            pc.and_(
+                q.column("is_quality"),
+                pc.not_equal(lang.column("pred_lang"), "und"),
+            ),
+            pc.and_(
+                pc.less_equal(
+                    pc.multiply(g.column("dup_line_chars"), 2),
+                    g.column("line_chars"),
+                ),
+                pc.less_equal(
+                    pc.multiply(g.column("top_bigram_count"), 10),
+                    q.column("n_tokens"),
+                ),
+            ),
+        )
+        out = pa.table(
+            {"doc_id": q.column("doc_id"),
+             "n_tokens": q.column("n_tokens"),
+             "pred_lang": lang.column("pred_lang")}
+        )
+        return out.filter(keep)
+
+
+def quality_filter_apply(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(
+        QualityFilterStage, batch_format="pyarrow", concurrency=(1, 8)
+    )

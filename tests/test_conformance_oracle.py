@@ -52,6 +52,7 @@ SUBSET = [
     "semdedup_pairs",
     "dedup_lines",
     "decontaminate_apply",
+    "quality_filter",
 ]
 
 
