@@ -31,6 +31,8 @@ def pack_frames(frames: list[bytes]) -> bytes:
 def unpack_frames(payload: bytes) -> list[bytes]:
     if payload[:4] != _MAGIC:
         raise ValueError("not a FRM1 payload")
+    if len(payload) < 8:
+        raise ValueError("truncated FRM1 header")
     (n,) = struct.unpack_from("<I", payload, 4)
     pos = 8
     frames = []

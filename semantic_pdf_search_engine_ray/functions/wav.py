@@ -24,7 +24,10 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     """Encode 16-bit signed mono samples as a PCM WAV file."""
     if not 1 <= sample_rate <= 2**31 - 1:
         raise ValueError("bad sample rate")
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    try:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    except struct.error as exc:  # keep the module's ValueError contract
+        raise ValueError(f"sample outside int16 range: {exc}") from exc
     fmt = struct.pack(
         "<HHIIHH",
         1,                  # PCM

@@ -141,6 +141,12 @@ def assign_doc_ids(extracted: rd.Dataset) -> rd.Dataset:
     return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
+# boundary-sample cap per batch: the driver's sample is bounded by
+# this x blocks regardless of corpus size (boundaries only affect range
+# BALANCE, never output values, so aggressive decimation is safe)
+_SAMPLE_PER_BATCH = 64
+
+
 def assign_doc_ids_sampled(
     extracted: rd.Dataset,
     spill_dir: str | None = None,
@@ -156,24 +162,30 @@ def assign_doc_ids_sampled(
     land), which is what makes the bit-identity test against the sort
     path meaningful:
 
-    1. sample urls by stable hash (bounded, ~1/64 of distinct urls),
-       pick ``n_ranges - 1`` boundary urls at sample quantiles;
-    2. spill rows into per-range parquet dirs (url ranges, so every
-       copy of a url lands in ONE range — dedup stays range-local);
+    1. ONE pass over ``extracted`` (extraction is the expensive stage;
+       it never re-runs): each batch is spilled verbatim to parquet and
+       returns a BOUNDED url sample — hash-subsampled, then capped to
+       {_SAMPLE_PER_BATCH} evenly spaced picks per batch, so the driver
+       holds at most {_SAMPLE_PER_BATCH} x blocks strings no matter how
+       large the corpus. Boundary quality only affects range balance,
+       never the output (see boundary-invariance above);
+    2. a cheap second pass over the SPILLED parquet partitions rows
+       into per-range dirs (url ranges, so every copy of a url lands
+       in ONE range — dedup stays range-local);
     3. per range (parallel Ray tasks): Arrow-sort by (url, warc_ts),
        keep the last row of each url run, write back with a range-local
        rank; the task returns only its kept-doc COUNT;
     4. prefix-sum the ``n_ranges`` counts on the driver (tiny) and add
        ``doc_id = range_offset + local_rank`` in a streaming pass.
 
-    Nothing corpus-sized ever sits in the object store: each range is
-    one worker's sort, and the driver handles ``n_ranges`` integers.
-    ``spill_dir`` holds the intermediate parquet (caller-owned; a /tmp
-    dir is created when not given — at cluster scale point this at the
-    job's scratch filesystem)."""
+    Nothing corpus-sized ever sits in the object store or on the
+    driver: each range is one worker's sort, and the driver handles
+    ``n_ranges`` integers plus the capped sample. ``spill_dir`` holds
+    the intermediate parquet (caller-owned; a /tmp dir is created when
+    not given — at cluster scale point this at the job's scratch
+    filesystem)."""
     import shutil
     import tempfile
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -185,23 +197,52 @@ def assign_doc_ids_sampled(
 
     if spill_dir is None:
         spill_dir = tempfile.mkdtemp(prefix="spse_docid_spill_")
+    raw_all = os.path.join(spill_dir, "raw_all")
     raw_dir = os.path.join(spill_dir, "raw")
     dedup_dir = os.path.join(spill_dir, "dedup")
-    for d in (raw_dir, dedup_dir):
+    for d in (raw_all, raw_dir, dedup_dir):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
 
-    def sample_urls(batch: pa.Table) -> pa.Table:
-        urls = [u for u in set(batch.column("url").to_pylist())
-                if stable_hash64(u) % 64 == 0]
-        return pa.table({"url": pa.array(sorted(urls), type=pa.string())})
+    def _content_name(batch: pa.Table) -> str:
+        """Deterministic per-batch filename: a retried task rewrites the
+        SAME file (tmp+rename), so task retries can never duplicate
+        rows — the EncodePartitionToFile idempotency discipline."""
+        import hashlib
+
+        h = hashlib.md5()
+        h.update("\x00".join(batch.column("url").to_pylist()).encode())
+        h.update(batch.column("warc_ts").cast(pa.int64())
+                 .to_numpy().tobytes())
+        return h.hexdigest()
+
+    def _write_idempotent(batch: pa.Table, out_dir: str) -> None:
+        final = os.path.join(out_dir, f"{_content_name(batch)}.parquet")
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, final)
+
+    def spill_and_sample(batch: pa.Table) -> pa.Table:
+        """The single extraction-consuming pass: batch -> parquet, plus
+        a bounded url sample back to the driver."""
+        if batch.num_rows:
+            _write_idempotent(batch, raw_all)
+        urls = sorted(
+            u for u in set(batch.column("url").to_pylist())
+            if stable_hash64(u) % 64 == 0
+        )
+        if len(urls) > _SAMPLE_PER_BATCH:  # evenly spaced decimation
+            step = len(urls) / _SAMPLE_PER_BATCH
+            urls = [urls[int(i * step)] for i in range(_SAMPLE_PER_BATCH)]
+        return pa.table({"url": pa.array(urls, type=pa.string())})
 
     sample: set[str] = set()
     for part in ray.get(
-        extracted.map_batches(sample_urls, batch_format="pyarrow")
+        extracted.map_batches(spill_and_sample, batch_format="pyarrow")
         .to_arrow_refs()
     ):
-        sample.update(part.column("url").to_pylist())
+        if "url" in part.schema.names:
+            sample.update(part.column("url").to_pylist())
     ordered = sorted(sample)
     bounds = [
         ordered[i * len(ordered) // n_ranges]
@@ -209,7 +250,7 @@ def assign_doc_ids_sampled(
     ] if ordered else []
     bounds_arr = np.array(bounds, dtype=object)
 
-    def spill(batch: pa.Table) -> pa.Table:
+    def spill_ranges(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_numpy(zero_copy_only=False)
         rng = np.searchsorted(bounds_arr, urls, side="right") \
             if len(bounds_arr) else np.zeros(len(urls), dtype=np.int64)
@@ -217,38 +258,47 @@ def assign_doc_ids_sampled(
             sub = batch.filter(pa.array(rng == r))
             part_dir = os.path.join(raw_dir, f"rng={int(r)}")
             os.makedirs(part_dir, exist_ok=True)
-            pq.write_table(
-                sub, os.path.join(part_dir, f"{uuid.uuid4().hex}.parquet")
-            )
+            _write_idempotent(sub, part_dir)
         return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
 
-    # drain the spill pass (only per-batch row counts flow back)
-    extracted.map_batches(spill, batch_format="pyarrow").count()
+    # partition pass reads the cheap spilled parquet, NOT the extraction
+    if os.listdir(raw_all):
+        rd.read_parquet(raw_all).map_batches(
+            spill_ranges, batch_format="pyarrow"
+        ).count()
 
     @ray.remote
     def dedup_range(r: int) -> int:
+        prev_cpus = pa.cpu_count()
         pa.set_cpu_count(1)  # 1 task = 1 core; don't thrash the others
-        part_dir = os.path.join(raw_dir, f"rng={r}")
-        if not os.path.isdir(part_dir):
-            return 0
-        files = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
-                 if f.endswith(".parquet")]
-        if not files:
-            return 0
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        t = t.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
-        urls = t.column("url").to_numpy(zero_copy_only=False)
-        is_last = np.concatenate((urls[1:] != urls[:-1], [True])) \
-            if len(urls) else np.array([], dtype=bool)
-        kept = t.filter(pa.array(is_last))
-        kept = kept.append_column(
-            "local_rank",
-            pa.array(np.arange(kept.num_rows, dtype=np.int64)),
-        ).append_column(
-            "rng", pa.array(np.full(kept.num_rows, r, dtype=np.int64))
-        )
-        pq.write_table(kept, os.path.join(dedup_dir, f"rng_{r}.parquet"))
-        return kept.num_rows
+        try:
+            part_dir = os.path.join(raw_dir, f"rng={r}")
+            if not os.path.isdir(part_dir):
+                return 0
+            files = [os.path.join(part_dir, f)
+                     for f in os.listdir(part_dir)
+                     if f.endswith(".parquet")]
+            if not files:
+                return 0
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            t = t.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+            urls = t.column("url").to_numpy(zero_copy_only=False)
+            is_last = np.concatenate((urls[1:] != urls[:-1], [True])) \
+                if len(urls) else np.array([], dtype=bool)
+            kept = t.filter(pa.array(is_last))
+            kept = kept.append_column(
+                "local_rank",
+                pa.array(np.arange(kept.num_rows, dtype=np.int64)),
+            ).append_column(
+                "rng", pa.array(np.full(kept.num_rows, r, dtype=np.int64))
+            )
+            pq.write_table(kept,
+                           os.path.join(dedup_dir, f"rng_{r}.parquet"))
+            return kept.num_rows
+        finally:
+            # Ray reuses worker processes: later stages in this job DO
+            # want threaded Arrow (same discipline as EncodeBlocks)
+            pa.set_cpu_count(prev_cpus)
 
     counts = ray.get([dedup_range.remote(r) for r in range(n_ranges)])
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)

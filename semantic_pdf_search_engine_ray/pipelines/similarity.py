@@ -399,6 +399,11 @@ def cluster_assign(
     cref = ray.put(cmat)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: np paths need 2-D input
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "cluster": pa.array([], type=pa.int64())}
+            )
         cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
         mat = _normalize(
@@ -445,6 +450,10 @@ def semdedup_pairs(
     cref = ray.put(cmat)
 
     def assign_keep_vec(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: np paths need 2-D input
+            return batch.append_column(
+                "cluster", pa.array([], type=pa.int64())
+            )
         cm = ray.get(cref)
         mat = _normalize(
             np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
@@ -458,6 +467,13 @@ def semdedup_pairs(
     )
 
     def pairs_of_cluster(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"cluster": pa.array([], type=pa.int64()),
+                 "vec_id_a": pa.array([], type=pa.int64()),
+                 "vec_id_b": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
         ids = group.column(id_col).to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]

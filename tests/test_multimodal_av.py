@@ -99,3 +99,12 @@ def test_frame_sample_stage_skips_unsampled_and_decodes_sampled():
     assert out.column("mean_pixel").to_pylist() == [10, 30, 50]
     assert out.column("n_frames").to_pylist() == [5, 5, 5]
     assert out.column("width").to_pylist() == [2, 2, 2]
+
+
+def test_short_frm1_and_out_of_range_wav_raise_valueerror():
+    """Contract: malformed inputs raise ValueError (never a raw
+    struct.error) so callers can degrade uniformly."""
+    with pytest.raises(ValueError, match="truncated FRM1 header"):
+        unpack_frames(b"FRM1")
+    with pytest.raises(ValueError, match="int16 range"):
+        encode_wav(8000, [40000])

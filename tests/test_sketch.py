@@ -47,3 +47,27 @@ def test_mg_batch_union_covers_global_heavies():
     for term, c in total.items():
         if c > n / slots:
             assert term in union, (term, c, n / slots)
+
+
+def test_heavy_hitters_fallback_on_uniform_distribution(ray_session):
+    """Near-uniform corpus with deliberately tiny slots: the survival
+    precondition fails and the runtime check must route to the exact
+    fallback instead of returning a wrong top-k."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sketch import (
+        heavy_hitter_terms,
+    )
+
+    # 120 docs, each a distinct word, plus two words with small leads
+    texts = [f"w{i:03d}" for i in range(120)]
+    texts += ["alpha"] * 3 + ["beta"] * 2
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(6)
+    out = heavy_hitter_terms(docs, k=2, slots_factor=1)  # slots = 2
+    assert out.column("term").to_pylist() == ["alpha", "beta"]
+    assert out.column("count").to_pylist() == [3, 2]
