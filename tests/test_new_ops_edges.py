@@ -98,3 +98,53 @@ def test_semdedup_no_pairs_schema(ray_session, tmp_path):
     assert out.num_rows == 0
     assert out.schema.names == ["cluster", "vec_id_a", "vec_id_b",
                                 "cosine"]
+
+
+def test_gopher_and_dedup_lines_on_multiline_docs(ray_session):
+    """The sf fixtures contain no newlines, so the driver gate only
+    trivially exercises the line-based signals; this pins the real
+    multi-line behavior against DuckDB inline."""
+    import duckdb
+
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines import (
+        conformance as cf,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.textstats import (
+        dedup_lines,
+        gopher_repetition,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "subscribe now\nreal content one\nsubscribe now\nmore...",
+            "a\n\na\nb\nb\nb",
+            "no repeats here\njust two lines",
+        ], type=pa.string()),
+    })
+    ds = rd.from_arrow(docs)
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    for name, fn in (("gopher_repetition", gopher_repetition),
+                     ("dedup_lines", dedup_lines)):
+        mine = (fn(ds).to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+        ref = (con.execute(cf.ORACLE_SQL[name]).df()
+               .sort_values("doc_id").reset_index(drop=True))
+        mine = mine[sorted(mine.columns)]
+        ref = ref[sorted(ref.columns)]
+        assert mine.columns.tolist() == ref.columns.tolist(), name
+        assert mine.equals(ref.astype(mine.dtypes.to_dict())), (
+            name, mine, ref)
+    # spot-check the semantics directly
+    g = gopher_repetition(ds).to_pandas().set_index("doc_id")
+    assert g.loc[0, "dup_line_chars"] == 2 * len("subscribe now")
+    assert g.loc[0, "n_ellipsis_lines"] == 1
+    assert g.loc[1, "dup_line_chars"] == 5  # 'a','a','b','b','b'
+    d = dedup_lines(ds).to_pandas().set_index("doc_id")
+    assert d.loc[0, "n_lines_kept"] == 3
+    assert d.loc[1, "n_lines_kept"] == 3  # 'a', '', 'b'
+    assert d.loc[2, "n_lines_kept"] == 2
