@@ -853,6 +853,14 @@ def q_image_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_curation_report(sf_dir: str) -> rd.Dataset:
+    """Per-source curation summary: quality_filter verdicts rolled up
+    with map-side partials, then a |sources|-keyed groupby."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["doc_id", "text", "source"])
+    return ts.curation_report(docs)
+
+
 def q_quality_filter(sf_dir: str) -> rd.Dataset:
     """Composed C4/Gopher keep filter: quality + lang evidence +
     repetition thresholds in ONE fused actor-pool pass."""
@@ -1689,6 +1697,16 @@ SELECT doc_id,
 FROM documents
 """
 
+_SQL_CURATION_REPORT_TMPL = """
+WITH kept AS ({quality_filter_sql})
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(k.doc_id)::BIGINT AS n_kept,
+       coalesce(sum(k.n_tokens), 0)::BIGINT AS kept_tokens
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.source
+"""
+
 _SQL_QUALITY_FILTER = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
@@ -2026,6 +2044,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "decontaminate_apply": q_decontaminate_apply,
     "quality_filter": q_quality_filter,
+    "curation_report": q_curation_report,
 }
 
 ORACLE_SQL = {
@@ -2092,6 +2111,9 @@ ORACLE_SQL = {
     "dedup_lines": _SQL_DEDUP_LINES,
     "decontaminate_apply": _SQL_DECONTAMINATE_APPLY,
     "quality_filter": _SQL_QUALITY_FILTER,
+    "curation_report": _SQL_CURATION_REPORT_TMPL.format(
+        quality_filter_sql=_SQL_QUALITY_FILTER
+    ),
     # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
     # normalize, highlights, ann_ivf_pruned
 }

@@ -662,3 +662,55 @@ def quality_filter_apply(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(
         QualityFilterStage, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+class CurationReportStage:
+    """Per-batch PARTIAL per-source curation tallies (the map-side
+    combiner for ``curation_report``): one row per source seen in the
+    batch with doc/kept/token sums. The downstream groupby then moves
+    |sources| x |batches| rows instead of one row per document — the
+    pre-aggregate-before-shuffle rule."""
+
+    def __init__(self):
+        self._filter = QualityFilterStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kept = self._filter(batch)
+        kept_ids = set(kept.column("doc_id").to_pylist())
+        kept_tokens = dict(zip(kept.column("doc_id").to_pylist(),
+                               kept.column("n_tokens").to_pylist()))
+        agg: dict[str, list[int]] = {}
+        for doc_id, source in zip(batch.column("doc_id").to_pylist(),
+                                  batch.column("source").to_pylist()):
+            a = agg.setdefault(source, [0, 0, 0])
+            a[0] += 1
+            if doc_id in kept_ids:
+                a[1] += 1
+                a[2] += kept_tokens[doc_id]
+        sources = sorted(agg)
+        return pa.table(
+            {"source": pa.array(sources, type=pa.string()),
+             "n_docs": pa.array([agg[s][0] for s in sources],
+                                type=pa.int64()),
+             "n_kept": pa.array([agg[s][1] for s in sources],
+                                type=pa.int64()),
+             "kept_tokens": pa.array([agg[s][2] for s in sources],
+                                     type=pa.int64())}
+        )
+
+
+def curation_report(docs: rd.Dataset) -> rd.Dataset:
+    """(source, n_docs, n_kept, kept_tokens): the curation summary a
+    data team ships — quality_filter verdicts rolled up per source.
+    Map-side partials (CurationReportStage) then a |sources|-keyed
+    groupby; the corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    partial = docs.map_batches(
+        CurationReportStage, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    return partial.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_kept", alias_name="n_kept"),
+        Sum("kept_tokens", alias_name="kept_tokens"),
+    )

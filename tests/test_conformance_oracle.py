@@ -53,6 +53,7 @@ SUBSET = [
     "dedup_lines",
     "decontaminate_apply",
     "quality_filter",
+    "curation_report",
 ]
 
 
