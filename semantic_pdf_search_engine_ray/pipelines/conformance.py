@@ -292,6 +292,44 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+PREFIX_LEN = 4
+PREFIX_EXPAND = 16
+
+
+def q_bm25_prefix(sf_dir: str) -> pa.Table:
+    """Wildcard (prefix*) BM25: prefixes are the first PREFIX_LEN chars
+    of the head terms (deduped, query_id by sorted order); each expands
+    to <= PREFIX_EXPAND dictionary terms (df DESC, term ASC) and scores
+    disjunctively. Mirrored term-for-term by the SQL oracle."""
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir = ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    head = derive_query_table(index_dir).column("query").to_pylist()
+    head = [q for q in head if " " not in q]  # single-term queries only
+    prefixes = sorted({t[:PREFIX_LEN] for t in head})
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, p in enumerate(prefixes):
+        for rank, (doc_id, score) in enumerate(
+            reader.top_k_prefix(p, TOP_K, max_expand=PREFIX_EXPAND),
+            start=1,
+        ):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(doc_id)
+            scores.append(score)
+    res = pa.table(
+        {"query_id": pa.array(qids, type=pa.int64()),
+         "rank": pa.array(ranks, type=pa.int64()),
+         "doc_id": pa.array(docs, type=pa.int64()),
+         "score": pa.array(scores, type=pa.float64())}
+    )
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
     index_dir = ensure_index(sf_dir)
     queries = pair_query_table(index_dir)
@@ -1642,6 +1680,38 @@ SELECT query_vec_id, rank, vec_id, cosine FROM (
 ) WHERE rank <= {ANN_K}
 """
 
+_SQL_BM25_PREFIX = f"""
+WITH {_TOKS_CTE},
+pfx AS (
+  SELECT prefix, row_number() OVER (ORDER BY prefix) - 1 AS query_id
+  FROM (SELECT DISTINCT substr(term, 1, {PREFIX_LEN}) AS prefix FROM head)
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM pfx p JOIN df d ON d.term LIKE p.prefix || '%'
+  ) WHERE rn <= {PREFIX_EXPAND}
+),
+scores AS (
+  SELECT e.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM exp e
+  JOIN tf ON tf.term = e.term
+  JOIN df ON df.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+) WHERE rank <= {TOP_K}
+"""
+
 _SQL_EVENTS_WINDOW = """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value,
@@ -1994,6 +2064,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bm25_prefix_topk": q_bm25_prefix,
     "bm25_lang_filtered": q_bm25_lang_filtered,
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
@@ -2058,6 +2129,7 @@ ORACLE_SQL = {
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,
     "bm25_conjunctive": _SQL_BM25_CONJ,
+    "bm25_prefix_topk": _SQL_BM25_PREFIX,
     "bm25_lang_filtered": _SQL_BM25_LANG,
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "bm25_prf_rerank": _SQL_BM25_PRF,

@@ -220,6 +220,11 @@ class IndexReader:
             return []
         if allowed is not None:
             scores[~allowed] = 0.0
+        return self._topk_from_scores(scores, k)
+
+    def _topk_from_scores(
+        self, scores: np.ndarray, k: int
+    ) -> list[tuple[int, float]]:
         cand = np.flatnonzero(scores)
         if cand.size == 0:
             return []
@@ -236,6 +241,41 @@ class IndexReader:
         order = np.lexsort((cand, -svals))
         top = cand[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
+
+    def expand_prefix(self, prefix: str, max_expand: int = 16) -> list[str]:
+        """Dictionary terms starting with ``prefix``: two binary searches
+        over the sorted term array (built lazily once per reader), then
+        ranked df DESC / term ASC and capped at ``max_expand`` — the
+        wildcard-expansion bound every production engine imposes. The
+        cap and its ordering are part of the scoring contract (mirrored
+        term-for-term by the SQL oracle)."""
+        arr = getattr(self, "_sorted_terms", None)
+        if arr is None:
+            arr = np.array(sorted(self.df), dtype=object)
+            self._sorted_terms = arr
+        lo = int(np.searchsorted(arr, prefix, side="left"))
+        hi = int(np.searchsorted(arr, prefix + "￿", side="left"))
+        cands = sorted(arr[lo:hi], key=lambda t: (-int(self.df[t]), t))
+        return [str(t) for t in cands[:max_expand]]
+
+    def top_k_prefix(
+        self, prefix: str, k: int, max_expand: int = 16
+    ) -> list[tuple[int, float]]:
+        """Wildcard (``prefix*``) BM25: disjunctive dense scoring over
+        the expanded term set — a query feature the reference's exact
+        term lookup cannot express (engine addition)."""
+        scores = np.zeros(len(self.doc_len), dtype=np.float64)
+        touched = False
+        for term in self.expand_prefix(prefix, max_expand):
+            w = self._weight(term)
+            if w == 0.0:
+                continue
+            ids, tfn = self._term_tfn(term)
+            scores[ids] += w * tfn
+            touched = True
+        if not touched:
+            return []
+        return self._topk_from_scores(scores, k)
 
     def top_k_conjunctive(self, query: str, k: int) -> list[tuple[int, float]]:
         """Posting-list intersection (AND semantics) + BM25 top-k.

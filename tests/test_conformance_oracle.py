@@ -54,6 +54,7 @@ SUBSET = [
     "decontaminate_apply",
     "quality_filter",
     "curation_report",
+    "bm25_prefix_topk",
 ]
 
 
