@@ -25,6 +25,19 @@ import os
 import sys
 
 
+def _as_prefix_query(q: str) -> str | None:
+    """``data*`` (one token + trailing star) -> ``data``; anything else
+    -> None (the star would be dropped by the tokenizer anyway, so only
+    the explicit single-token wildcard form routes to prefix search)."""
+    q = q.strip()
+    if not q.endswith("*"):
+        return None
+    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+
+    toks = tokenize(q[:-1])
+    return toks[0] if len(toks) == 1 else None
+
+
 def _ensure_ray(num_cpus: int | None):
     import os
 
@@ -128,6 +141,9 @@ def _serve(args) -> int:
     def top_k(q: str, k: int) -> list[tuple[int, float]]:
         with lock:
             r = state["reader"]
+        pfx = _as_prefix_query(q)
+        if pfx is not None:
+            return r.top_k_prefix(pfx, k)
         return r.top_k(q, k) if sharded else r.top_k_auto(q, k)
 
     def hit_payload(q: str, hits: list[tuple[int, float]]) -> list[dict]:
@@ -383,9 +399,10 @@ def main(argv: list[str] | None = None) -> int:
                     break
                 continue
             query = line[7:] if line.startswith("search ") else line
-            for rank, (doc_id, score) in enumerate(
-                reader.top_k_auto(query, args.k), start=1
-            ):
+            pfx = _as_prefix_query(query)
+            hits = (reader.top_k_prefix(pfx, args.k) if pfx is not None
+                    else reader.top_k_auto(query, args.k))
+            for rank, (doc_id, score) in enumerate(hits, start=1):
                 print(json.dumps(
                     {"rank": rank, "doc_id": doc_id, "score": score}
                 ), flush=True)
@@ -396,12 +413,16 @@ def main(argv: list[str] | None = None) -> int:
         from semantic_pdf_search_engine_ray.stages.query import IndexReader
 
         reader = IndexReader(args.index)
-        hits = {
-            "auto": reader.top_k_auto,
-            "wand": reader.top_k_wand,
-            "exhaustive": reader.top_k_exhaustive,
-            "conjunctive": reader.top_k_conjunctive,
-        }[args.method](args.query, args.k)
+        pfx = _as_prefix_query(args.query)
+        if pfx is not None:
+            hits = reader.top_k_prefix(pfx, args.k)
+        else:
+            hits = {
+                "auto": reader.top_k_auto,
+                "wand": reader.top_k_wand,
+                "exhaustive": reader.top_k_exhaustive,
+                "conjunctive": reader.top_k_conjunctive,
+            }[args.method](args.query, args.k)
         for rank, (doc_id, score) in enumerate(hits, start=1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0

@@ -350,6 +350,25 @@ class ShardedReader:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out
 
+    def top_k_prefix(
+        self, prefix: str, k: int, max_expand: int = 16
+    ) -> list[tuple[int, float]]:
+        """Wildcard (prefix*) over the sharded tier: every shard reader
+        expands against the GLOBAL dictionary (df was overridden above),
+        so the expansion set — part of the scoring contract — is
+        identical on every shard; per-shard top-ks merge like top_k."""
+        heap: list[tuple[float, int]] = []
+        for r in self.readers:
+            for doc_id, score in r.top_k_prefix(prefix, k, max_expand):
+                item = (score, -doc_id)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = [(-nd, s) for s, nd in heap]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
 
 class ShardedQueryActor:
     """Actor-pool stage over a sharded index (same batch contract as

@@ -222,3 +222,26 @@ def test_serve_concurrent_uploads_both_land(sharded_root):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_cli_wildcard_query_and_detection(cli_index):
+    """`data*` routes to prefix search and must contain every hit of
+    the corresponding exact-term query (the expansion is a superset of
+    the exact term)."""
+    from semantic_pdf_search_engine_ray.cli import _as_prefix_query
+
+    assert _as_prefix_query("data*") == "data"
+    assert _as_prefix_query("  Table* ") == "table"
+    assert _as_prefix_query("data") is None
+    assert _as_prefix_query("two words*") is None
+    assert _as_prefix_query("*") is None
+
+    exact = _run(["query", "--index", cli_index, "--query", "table",
+                  "-k", "100"])
+    wild = _run(["query", "--index", cli_index, "--query", "tab*",
+                 "-k", "1000"])
+    exact_ids = {json.loads(l)["doc_id"] for l in exact.splitlines()
+                 if l.startswith("{")}
+    wild_ids = {json.loads(l)["doc_id"] for l in wild.splitlines()
+                if l.startswith("{")}
+    assert exact_ids and exact_ids <= wild_ids

@@ -360,3 +360,28 @@ def test_compaction_preserves_results_bit_identically(
         assert after.top_k(q, 5) == want[q], q
     # idempotent no-op below target
     assert compact_shards(root, target_shards=2)["n_shards"] == 2
+
+
+def test_sharded_prefix_bit_identical_to_mono(both_indexes):
+    """Wildcard (prefix*) over the sharded tier: expansion uses the
+    GLOBAL dictionary on every shard, so results must equal the
+    monolithic reader's prefix query exactly."""
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+    )
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    mono, root, _ = both_indexes
+    single = IndexReader(mono)
+    sharded = ShardedReader(root)
+    head = sorted(single.df, key=lambda t: (-single.df[t], t))[:6]
+    prefixes = sorted({t[:3] for t in head}) + ["zzz", ""]
+    for p in prefixes:
+        a = single.top_k_prefix(p, 5)
+        b = sharded.top_k_prefix(p, 5)
+        assert a == b, f"prefix merge mismatch on {p!r}: {a} vs {b}"
+        if p and p not in ("zzz",):
+            assert a, f"head-term prefix {p!r} should match docs"
+    # the expansion set itself is the contract: global on every shard
+    assert (sharded.readers[0].expand_prefix(prefixes[0])
+            == single.expand_prefix(prefixes[0]))
