@@ -294,6 +294,28 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
 
 PREFIX_LEN = 4
 PREFIX_EXPAND = 16
+SPELL_MAX_DIST = 2
+SPELL_TOP_N = 3
+
+
+def q_spell_suggest(sf_dir: str) -> pa.Table:
+    """Did-you-mean: head terms (len >= 4) misspelled by dropping their
+    2nd character; suggestions = dictionary terms within edit distance
+    2, ranked (distance ASC, df DESC, term ASC) top 3. The vocabulary
+    is the Dataset; the misspellings broadcast (pipelines/spell.py)."""
+    from semantic_pdf_search_engine_ray.pipelines.spell import (
+        spell_suggestions,
+    )
+
+    index_dir = ensure_index(sf_dir)
+    head = derive_query_table(index_dir).column("query").to_pylist()
+    head = [q for q in head if " " not in q]
+    queries = [(qid, t[0] + t[2:]) for qid, t in enumerate(head)
+               if len(t) >= 4]
+    return spell_suggestions(
+        os.path.join(index_dir, "dictionary"), queries,
+        max_dist=SPELL_MAX_DIST, top_n=SPELL_TOP_N,
+    )
 
 
 def q_bm25_prefix(sf_dir: str) -> pa.Table:
@@ -328,6 +350,47 @@ def q_bm25_prefix(sf_dir: str) -> pa.Table:
     return res.rename_columns(
         ["query_id", "rank", "doc_id", "score_r"]
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+MLT_SRC_DOCS = 4
+MLT_TERMS = 8
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """Related-document retrieval for the MLT_SRC_DOCS lowest doc_ids:
+    each source's top MLT_TERMS tf-idf terms become a disjunctive BM25
+    query, source excluded, top TOP_K."""
+    import pyarrow.dataset as pads
+
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir = ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    src = pads.dataset(documents_path(sf_dir)).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < MLT_SRC_DOCS,
+    ).sort_by("doc_id")
+    sids, ranks, docs, scores = [], [], [], []
+    for sid, text in zip(src.column("doc_id").to_pylist(),
+                         src.column("text").to_pylist()):
+        for rank, (doc_id, score) in enumerate(
+            reader.more_like_this(sid, text, TOP_K, n_terms=MLT_TERMS),
+            start=1,
+        ):
+            sids.append(sid)
+            ranks.append(rank)
+            docs.append(doc_id)
+            scores.append(score)
+    res = pa.table(
+        {"src_doc_id": pa.array(sids, type=pa.int64()),
+         "rank": pa.array(ranks, type=pa.int64()),
+         "doc_id": pa.array(docs, type=pa.int64()),
+         "score": pa.array(scores, type=pa.float64())}
+    )
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["src_doc_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("src_doc_id", "ascending"), ("rank", "ascending")])
 
 
 def q_bm25_conjunctive(sf_dir: str) -> pa.Table:
@@ -1680,6 +1743,62 @@ SELECT query_vec_id, rank, vec_id, cosine FROM (
 ) WHERE rank <= {ANN_K}
 """
 
+_SQL_MORE_LIKE_THIS = f"""
+WITH {_TOKS_CTE},
+src AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {MLT_SRC_DOCS}),
+st AS (
+  SELECT doc_id AS src_doc_id, term FROM (
+    SELECT tf.doc_id, tf.term,
+           row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(s.n_docs * 1.0 / df.df) DESC,
+                      tf.term ASC) AS rn
+    FROM tf JOIN df USING (term) CROSS JOIN stats s
+    WHERE tf.doc_id IN (SELECT doc_id FROM src)
+  ) WHERE rn <= {MLT_TERMS}
+),
+scores AS (
+  SELECT st.src_doc_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM st
+  JOIN tf ON tf.term = st.term
+  JOIN df ON df.term = st.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> st.src_doc_id
+  GROUP BY st.src_doc_id, tf.doc_id
+)
+SELECT src_doc_id, rank, doc_id, score_r FROM (
+  SELECT src_doc_id, doc_id,
+         row_number() OVER (PARTITION BY src_doc_id
+                            ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+) WHERE rank <= {TOP_K}
+"""
+
+_SQL_SPELL_SUGGEST = f"""
+WITH {_TOKS_CTE},
+miss AS (
+  SELECT r::BIGINT AS query_id,
+         substr(term, 1, 1) || substr(term, 3) AS miss
+  FROM head WHERE length(term) >= 4
+),
+cand AS (
+  SELECT m.query_id, d.term, d.df,
+         levenshtein(m.miss, d.term)::BIGINT AS distance
+  FROM miss m CROSS JOIN df d
+  WHERE levenshtein(m.miss, d.term) <= {SPELL_MAX_DIST}
+),
+ranked AS (
+  SELECT query_id, term, distance,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, df DESC, term ASC)
+           AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, term, distance
+FROM ranked WHERE rank <= {SPELL_TOP_N}
+"""
+
 _SQL_BM25_PREFIX = f"""
 WITH {_TOKS_CTE},
 pfx AS (
@@ -2065,6 +2184,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_prefix_topk": q_bm25_prefix,
+    "spell_suggest": q_spell_suggest,
+    "more_like_this": q_more_like_this,
     "bm25_lang_filtered": q_bm25_lang_filtered,
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
@@ -2130,6 +2251,8 @@ ORACLE_SQL = {
     "bm25_topk": _SQL_BM25_TOPK,
     "bm25_conjunctive": _SQL_BM25_CONJ,
     "bm25_prefix_topk": _SQL_BM25_PREFIX,
+    "spell_suggest": _SQL_SPELL_SUGGEST,
+    "more_like_this": _SQL_MORE_LIKE_THIS,
     "bm25_lang_filtered": _SQL_BM25_LANG,
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "bm25_prf_rerank": _SQL_BM25_PRF,

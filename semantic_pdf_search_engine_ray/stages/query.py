@@ -258,6 +258,40 @@ class IndexReader:
         cands = sorted(arr[lo:hi], key=lambda t: (-int(self.df[t]), t))
         return [str(t) for t in cands[:max_expand]]
 
+    def more_like_this(
+        self, src_doc_id: int, text: str, k: int, n_terms: int = 8
+    ) -> list[tuple[int, float]]:
+        """Related-document retrieval: the source doc's top ``n_terms``
+        terms by tf x ln(N/df) (ties term ASC) become a disjunctive
+        BM25 query; the source itself is excluded. The term-selection
+        rule is part of the contract (mirrored by the SQL oracle)."""
+        from collections import Counter
+
+        from semantic_pdf_search_engine_ray.functions.tokenize import (
+            tokenize,
+        )
+
+        counts = Counter(tokenize(text))  # real tf, not the unique set
+        ranked = sorted(
+            ((tf * math.log(self.n_docs * 1.0 / int(self.df[t])), t)
+             for t, tf in counts.items() if int(self.df.get(t, 0)) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )
+        scores = np.zeros(len(self.doc_len), dtype=np.float64)
+        touched = False
+        for _tfidf, term in ranked[:n_terms]:
+            w = self._weight(term)
+            if w == 0.0:
+                continue
+            ids, tfn = self._term_tfn(term)
+            scores[ids] += w * tfn
+            touched = True
+        if not touched:
+            return []
+        if 0 <= src_doc_id < len(scores):
+            scores[src_doc_id] = 0.0  # never recommend the source
+        return self._topk_from_scores(scores, k)
+
     def top_k_prefix(
         self, prefix: str, k: int, max_expand: int = 16
     ) -> list[tuple[int, float]]:

@@ -55,6 +55,8 @@ SUBSET = [
     "quality_filter",
     "curation_report",
     "bm25_prefix_topk",
+    "spell_suggest",
+    "more_like_this",
 ]
 
 
