@@ -264,6 +264,33 @@ def _serve(args) -> int:
                     self._json({"error": "k out of range [1,1000]"}, 400)
                     return
                 self._json(hit_payload(q, top_k(q, k)))
+            elif url.path == "/api/suggest":
+                q = (qs.get("q") or [""])[0].strip().lower()
+                if not q:
+                    self._json([])
+                    return
+                with lock:
+                    r = state["reader"]
+                self._json([
+                    {"rank": i, "term": t, "distance": d}
+                    for i, (t, d) in enumerate(r.suggest(q), start=1)
+                ])
+            elif url.path == "/api/more":
+                try:
+                    doc = int((qs.get("doc") or [""])[0])
+                    k = int((qs.get("k") or [default_k])[0])
+                except ValueError:
+                    self._json({"error": "doc and k must be integers"},
+                               400)
+                    return
+                row = fetch_docs([doc]).get(doc)
+                if row is None:
+                    self._json({"error": f"unknown doc_id {doc}"}, 404)
+                    return
+                with lock:
+                    r = state["reader"]
+                hits = r.more_like_this(doc, row.get("text", "") or "", k)
+                self._json(hit_payload("", hits))
             else:
                 self._json({"error": "not found"}, code=404)
 

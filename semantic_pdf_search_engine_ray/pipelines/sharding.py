@@ -369,6 +369,35 @@ class ShardedReader:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out
 
+    def more_like_this(
+        self, src_doc_id: int, text: str, k: int, n_terms: int = 8
+    ) -> list[tuple[int, float]]:
+        """Related docs across shards: term selection uses the GLOBAL
+        df (overridden on every shard reader), so each shard scores the
+        identical term set; merge like top_k."""
+        heap: list[tuple[float, int]] = []
+        for r in self.readers:
+            for doc_id, score in r.more_like_this(
+                src_doc_id, text, k, n_terms
+            ):
+                item = (score, -doc_id)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = [(-nd, s) for s, nd in heap]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    def suggest(
+        self, term: str, max_dist: int = 2, top_n: int = 3
+    ) -> list[tuple[str, int]]:
+        """Dictionary suggestions: any shard reader works — df was
+        overridden with the GLOBAL dictionary on every one."""
+        if not self.readers:
+            return []
+        return self.readers[0].suggest(term, max_dist, top_n)
+
 
 class ShardedQueryActor:
     """Actor-pool stage over a sharded index (same batch contract as

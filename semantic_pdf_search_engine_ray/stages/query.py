@@ -292,6 +292,25 @@ class IndexReader:
             scores[src_doc_id] = 0.0  # never recommend the source
         return self._topk_from_scores(scores, k)
 
+    def suggest(
+        self, term: str, max_dist: int = 2, top_n: int = 3
+    ) -> list[tuple[str, int]]:
+        """Did-you-mean for one term: (term, distance) suggestions from
+        the in-memory dictionary, ranked distance ASC / df DESC / term
+        ASC — the reader-local counterpart of the distributed
+        ``pipelines.spell.spell_suggestions`` (same contract)."""
+        from semantic_pdf_search_engine_ray.pipelines.spell import (
+            bounded_levenshtein,
+        )
+
+        cands = []
+        for t, df in self.df.items():
+            d = bounded_levenshtein(term, t, max_dist)
+            if d <= max_dist:
+                cands.append((d, -int(df), t))
+        cands.sort()
+        return [(t, d) for d, _ndf, t in cands[:top_n]]
+
     def top_k_prefix(
         self, prefix: str, k: int, max_expand: int = 16
     ) -> list[tuple[int, float]]:

@@ -158,6 +158,26 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
         assert marker.split()[0] in res[0]["text"]
         assert res[0]["highlights"] and all(
             h["end"] > h["start"] for h in res[0]["highlights"])
+
+        # wildcard search routes through the sharded prefix tier
+        wild = _http_json(f"{base}/api/search?q=xanthozeph*&k=3")
+        assert wild and wild[0]["doc_id"] == up["doc_ids"][0]
+
+        # did-you-mean: dropped-letter typo resolves to the real term
+        sug = _http_json(f"{base}/api/suggest?q=xanthozephr")
+        assert sug and sug[0]["term"] == "xanthozephyr"
+        assert sug[0]["distance"] == 1 and sug[0]["rank"] == 1
+        assert _http_json(f"{base}/api/suggest?q=") == []
+
+        # more-like-this: excludes the source, 404 on unknown doc
+        more = _http_json(f"{base}/api/more?doc=0&k=3")
+        assert more and all(h["doc_id"] != 0 for h in more)
+        import urllib.error as ue
+        try:
+            _http_json(f"{base}/api/more?doc=999999&k=3")
+            raise AssertionError("expected 404")
+        except ue.HTTPError as e:
+            assert e.code == 404
     finally:
         proc.terminate()
         proc.wait(timeout=30)
