@@ -191,7 +191,11 @@ def run_bench() -> dict:
     # -- operator sweep over the sf tables ---------------------------------
     for name in ("dedup_minhash_lsh", "dedup_exact", "dedup_simhash",
                  "ann_brute_topk", "ann_ivf_topk",
-                 "events_window", "quality", "lang_id"):
+                 "events_window", "quality", "lang_id",
+                 # round-2 continuation families (keys ADDED, none
+                 # renamed, so per-stage cross-round comparison holds)
+                 "heavy_hitter_terms", "token_pack", "semdedup_pairs",
+                 "quality_filter", "decontaminate"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)
