@@ -26,16 +26,13 @@ import sys
 
 
 def _as_prefix_query(q: str) -> str | None:
-    """``data*`` (one token + trailing star) -> ``data``; anything else
-    -> None (the star would be dropped by the tokenizer anyway, so only
-    the explicit single-token wildcard form routes to prefix search)."""
-    q = q.strip()
-    if not q.endswith("*"):
-        return None
-    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    """Shared wildcard detector — see functions/tokenize.as_prefix_query
+    (the batch actor tiers route through the same function)."""
+    from semantic_pdf_search_engine_ray.functions.tokenize import (
+        as_prefix_query,
+    )
 
-    toks = tokenize(q[:-1])
-    return toks[0] if len(toks) == 1 else None
+    return as_prefix_query(q)
 
 
 def _ensure_ray(num_cpus: int | None):
@@ -265,15 +262,21 @@ def _serve(args) -> int:
                     return
                 self._json(hit_payload(q, top_k(q, k)))
             elif url.path == "/api/suggest":
-                q = (qs.get("q") or [""])[0].strip().lower()
-                if not q:
+                # shared analyzer, NOT str.lower(): the dictionary was
+                # built with the simple case mapping and [a-z0-9]+
+                # tokens; suggestions are for the first query token
+                from semantic_pdf_search_engine_ray.functions.tokenize \
+                    import tokenize
+                toks = tokenize((qs.get("q") or [""])[0])
+                if not toks:
                     self._json([])
                     return
                 with lock:
                     r = state["reader"]
                 self._json([
                     {"rank": i, "term": t, "distance": d}
-                    for i, (t, d) in enumerate(r.suggest(q), start=1)
+                    for i, (t, d) in enumerate(r.suggest(toks[0]),
+                                               start=1)
                 ])
             elif url.path == "/api/more":
                 try:
@@ -282,6 +285,9 @@ def _serve(args) -> int:
                 except ValueError:
                     self._json({"error": "doc and k must be integers"},
                                400)
+                    return
+                if not 1 <= k <= 1000:
+                    self._json({"error": "k out of range [1,1000]"}, 400)
                     return
                 row = fetch_docs([doc]).get(doc)
                 if row is None:

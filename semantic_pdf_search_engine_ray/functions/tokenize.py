@@ -51,3 +51,15 @@ def query_terms(text: str) -> list[str]:
     set (duplicate query terms count once); sorting pins the float
     accumulation order so engine, oracle and WAND sum identically."""
     return sorted(set(tokenize(text)))
+
+
+def as_prefix_query(q: str) -> str | None:
+    """``data*`` (one token + trailing star) -> ``data``; anything else
+    -> None. The single shared wildcard detector — every query surface
+    (CLI query/repl, serve, the batch actor tiers) routes through this
+    so the same string means the same query everywhere."""
+    q = q.strip()
+    if not q.endswith("*"):
+        return None
+    toks = tokenize(q[:-1])
+    return toks[0] if len(toks) == 1 else None

@@ -366,9 +366,15 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
 
     index_dir = ensure_index(sf_dir)
     reader = IndexReader(index_dir)
+    # the MLT_SRC_DOCS LOWEST ids (the oracle's ORDER BY doc_id LIMIT n
+    # — not `doc_id < n`, which diverges on non-0-based corpora)
+    all_ids = pads.dataset(documents_path(sf_dir)).to_table(
+        columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    lows = np.sort(all_ids)[:MLT_SRC_DOCS]
     src = pads.dataset(documents_path(sf_dir)).to_table(
         columns=["doc_id", "text"],
-        filter=pads.field("doc_id") < MLT_SRC_DOCS,
+        filter=pads.field("doc_id").isin(lows.tolist()),
     ).sort_by("doc_id")
     sids, ranks, docs, scores = [], [], [], []
     for sid, text in zip(src.column("doc_id").to_pylist(),

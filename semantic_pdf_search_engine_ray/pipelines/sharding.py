@@ -335,12 +335,23 @@ class ShardedReader:
             r.avgdl = float(m["avgdl"])
             r._tfn_cache.clear()
             self.readers.append(r)
+        # ONE sorted global term array shared by every reader's prefix
+        # path — each reader would otherwise lazily build its own sort
+        # of the same (global) vocabulary: N redundant copies at
+        # millions-of-terms scale
+        if self.readers:
+            shared = np.array(sorted(df_g), dtype=object)
+            for r in self.readers:
+                r._sorted_terms = shared
         self.n_docs = int(m["n_docs"])
 
-    def top_k(self, query: str, k: int) -> list[tuple[int, float]]:
+    def _merge(self, per_shard, k: int) -> list[tuple[int, float]]:
+        """One merge for every sharded query path: call ``per_shard``
+        on each shard reader, keep the global top-k by (score DESC,
+        doc_id ASC) — the single place the tie-break lives."""
         heap: list[tuple[float, int]] = []
         for r in self.readers:
-            for doc_id, score in r.top_k_auto(query, k):
+            for doc_id, score in per_shard(r):
                 item = (score, -doc_id)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
@@ -349,6 +360,9 @@ class ShardedReader:
         out = [(-nd, s) for s, nd in heap]
         out.sort(key=lambda x: (-x[1], x[0]))
         return out
+
+    def top_k(self, query: str, k: int) -> list[tuple[int, float]]:
+        return self._merge(lambda r: r.top_k_auto(query, k), k)
 
     def top_k_prefix(
         self, prefix: str, k: int, max_expand: int = 16
@@ -356,38 +370,20 @@ class ShardedReader:
         """Wildcard (prefix*) over the sharded tier: every shard reader
         expands against the GLOBAL dictionary (df was overridden above),
         so the expansion set — part of the scoring contract — is
-        identical on every shard; per-shard top-ks merge like top_k."""
-        heap: list[tuple[float, int]] = []
-        for r in self.readers:
-            for doc_id, score in r.top_k_prefix(prefix, k, max_expand):
-                item = (score, -doc_id)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        out = [(-nd, s) for s, nd in heap]
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out
+        identical on every shard."""
+        return self._merge(
+            lambda r: r.top_k_prefix(prefix, k, max_expand), k
+        )
 
     def more_like_this(
         self, src_doc_id: int, text: str, k: int, n_terms: int = 8
     ) -> list[tuple[int, float]]:
         """Related docs across shards: term selection uses the GLOBAL
         df (overridden on every shard reader), so each shard scores the
-        identical term set; merge like top_k."""
-        heap: list[tuple[float, int]] = []
-        for r in self.readers:
-            for doc_id, score in r.more_like_this(
-                src_doc_id, text, k, n_terms
-            ):
-                item = (score, -doc_id)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        out = [(-nd, s) for s, nd in heap]
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out
+        identical term set."""
+        return self._merge(
+            lambda r: r.more_like_this(src_doc_id, text, k, n_terms), k
+        )
 
     def suggest(
         self, term: str, max_dist: int = 2, top_n: int = 3
@@ -416,7 +412,8 @@ class ShardedQueryActor:
             score_query_batch,
         )
 
-        return score_query_batch(batch, self.reader.top_k, self.k)
+        return score_query_batch(batch, self.reader.top_k, self.k,
+                                 prefix_fn=self.reader.top_k_prefix)
 
 
 @ray.remote
@@ -442,9 +439,17 @@ class ShardOwnerActor:
         docs: list[int] = []
         scores: list[float] = []
         if self.reader is not None:
+            from semantic_pdf_search_engine_ray.functions.tokenize import (
+                as_prefix_query,
+            )
+
             for qid, qtext in zip(queries.column("query_id").to_pylist(),
                                   queries.column("query").to_pylist()):
-                for doc_id, score in self.reader.top_k(qtext, k):
+                pfx = as_prefix_query(qtext)
+                hits = (self.reader.top_k_prefix(pfx, k)
+                        if pfx is not None
+                        else self.reader.top_k(qtext, k))
+                for doc_id, score in hits:
                     qids.append(qid)
                     docs.append(doc_id)
                     scores.append(score)

@@ -687,7 +687,11 @@ class CurationReportStage:
             if doc_id in kept_ids:
                 a[1] += 1
                 a[2] += kept_tokens[doc_id]
-        sources = sorted(agg)
+        # NULL source is an ordinary group (matches SQL GROUP BY); a
+        # plain sorted() would raise on None-vs-str comparison
+        sources = sorted((s for s in agg if s is not None))
+        if None in agg:
+            sources.append(None)
         return pa.table(
             {"source": pa.array(sources, type=pa.string()),
              "n_docs": pa.array([agg[s][0] for s in sources],

@@ -540,6 +540,7 @@ class QueryActor:
                 "doc-subset filter + conjunctive scoring are not "
                 "composed yet; use method='auto' with the filter"
             )
+        self._no_filter = filter_col is None
         if filter_col is not None:
             # doc-subset predicate resolved ONCE per actor from the docs
             # store (J2 filename-filter analog, `qdrant.rs:84-93`)
@@ -561,12 +562,26 @@ class QueryActor:
             }[method]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return score_query_batch(batch, self.score, self.k)
+        # wildcard routing only when no doc-subset filter is active
+        # (prefix + filter are not composed; routing would silently
+        # drop the filter)
+        prefix_fn = (self.reader.top_k_prefix
+                     if getattr(self, "_no_filter", True) else None)
+        return score_query_batch(batch, self.score, self.k,
+                                 prefix_fn=prefix_fn)
 
 
-def score_query_batch(batch: pa.Table, score_fn, k: int) -> pa.Table:
+def score_query_batch(
+    batch: pa.Table, score_fn, k: int, prefix_fn=None
+) -> pa.Table:
     """Shared result-row assembly for every query tier (QueryActor,
-    ShardedQueryActor): (query_id, query) rows -> ranked result rows."""
+    ShardedQueryActor): (query_id, query) rows -> ranked result rows.
+    When ``prefix_fn`` is given, single-token ``data*`` queries route
+    to it — same wildcard semantics as the CLI/serve surfaces."""
+    from semantic_pdf_search_engine_ray.functions.tokenize import (
+        as_prefix_query,
+    )
+
     qids: list[int] = []
     ranks: list[int] = []
     docs: list[int] = []
@@ -575,7 +590,9 @@ def score_query_batch(batch: pa.Table, score_fn, k: int) -> pa.Table:
         batch.column("query_id").to_pylist(),
         batch.column("query").to_pylist(),
     ):
-        for rank, (doc_id, score) in enumerate(score_fn(qtext, k), start=1):
+        pfx = as_prefix_query(qtext) if prefix_fn is not None else None
+        hits = prefix_fn(pfx, k) if pfx is not None else score_fn(qtext, k)
+        for rank, (doc_id, score) in enumerate(hits, start=1):
             qids.append(qid)
             ranks.append(rank)
             docs.append(doc_id)

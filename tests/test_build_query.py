@@ -197,3 +197,34 @@ def test_sampled_doc_id_assignment_bit_identical(ray_session, tiny_pages,
     samp1 = canon(assign_doc_ids_sampled(extracted(), spill_dir=spill2,
                                          n_ranges=1))
     assert base.equals(samp1)
+
+
+def test_batch_tier_routes_wildcard_queries(ray_session, built_index):
+    """query-batch consistency: 'data*' through the actor tier must
+    equal reader.top_k_prefix, not the exact term (review finding)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.search import run_queries
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    built_index, _manifest = built_index
+    reader = IndexReader(built_index)
+    head = sorted(reader.df, key=lambda t: (-reader.df[t], t))[0]
+    prefix = head[:3]
+    queries = pa.table({
+        "query_id": pa.array([0, 1], type=pa.int64()),
+        "query": pa.array([f"{prefix}*", head], type=pa.string()),
+    })
+    res = run_queries(built_index, rd.from_arrow(queries), k=5).to_pandas()
+    got = [
+        (int(r.doc_id), float(r.score))
+        for r in res[res.query_id == 0].sort_values("rank").itertuples()
+    ]
+    assert got == reader.top_k_prefix(prefix, 5)
+    exact = [
+        (int(r.doc_id), float(r.score))
+        for r in res[res.query_id == 1].sort_values("rank").itertuples()
+    ]
+    assert exact == reader.top_k_auto(head, 5)

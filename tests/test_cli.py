@@ -178,6 +178,14 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
             raise AssertionError("expected 404")
         except ue.HTTPError as e:
             assert e.code == 404
+        try:
+            _http_json(f"{base}/api/more?doc=0&k=0")
+            raise AssertionError("expected 400")
+        except ue.HTTPError as e:
+            assert e.code == 400
+        # analyzer-shared suggest: case/punct input still tokenizes
+        sug2 = _http_json(f"{base}/api/suggest?q=XANTHOZEPHR-test")
+        assert sug2 and sug2[0]["term"] == "xanthozephyr"
     finally:
         proc.terminate()
         proc.wait(timeout=30)

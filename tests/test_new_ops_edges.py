@@ -148,3 +148,20 @@ def test_gopher_and_dedup_lines_on_multiline_docs(ray_session):
     assert d.loc[0, "n_lines_kept"] == 3
     assert d.loc[1, "n_lines_kept"] == 3  # 'a', '', 'b'
     assert d.loc[2, "n_lines_kept"] == 2
+
+
+def test_curation_report_null_source_is_a_group(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines.textstats import (
+        CurationReportStage,
+    )
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["good enough text " * 10] * 3,
+                         type=pa.string()),
+        "source": pa.array(["web", None, "web"], type=pa.string()),
+    })
+    out = CurationReportStage()(batch)
+    by_src = {r["source"]: r for r in out.to_pylist()}
+    assert by_src["web"]["n_docs"] == 2
+    assert by_src[None]["n_docs"] == 1
