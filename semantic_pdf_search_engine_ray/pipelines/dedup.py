@@ -19,9 +19,13 @@ Scale notes (the 100 TB story):
   to one representative INSIDE each band bucket (all copies share every
   band key, so each bucket sees whole exact groups — m identical docs
   never become m^2/2 candidates), candidate dedup is a distributed
-  groupby, and verification tasks pushdown-read only their own batch's
-  docs. The driver touches nothing corpus-sized; the returned pair list
-  is itself the output contract.
+  groupby, verification tasks pushdown-read only their own batch's
+  docs, and member-level expansion is two hash joins. The driver
+  touches NOTHING — not the corpus, not the pair list: the ``_ds``
+  forms return pair Datasets (persist with write_parquet), the apply
+  forms drop duplicates via a distributed left-anti join on doc_id,
+  and the ``pa.Table``-returning names are thin small-scale wrappers
+  kept for the SQL-oracle gate.
 - simhash uses Manku (WWW'07) 6-choose-3 block-combination tables:
   ~2^32-key buckets, in-bucket signature collapse + local hamming check.
 - embedding brute-force broadcasts the normalized matrix once (ray.put)
@@ -203,6 +207,9 @@ def _filter_kind(ds: rd.Dataset, kind: int) -> rd.Dataset:
 
 
 def _to_table(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
+    """Small-scale collection helper for the ``pa.Table`` oracle wrappers
+    ONLY — the `_ds` pipelines never call it. At web scale, consume the
+    Dataset forms (write_parquet / anti-join) instead."""
     parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
     if not parts:
         return schema.empty_table()
@@ -211,71 +218,78 @@ def _to_table(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
     )
 
 
-def _expand_rep_pairs(
-    rep_pairs: pa.Table,
+def _expand_rep_pairs_ds(
+    verified: rd.Dataset,
     bucket_out: rd.Dataset,
     value_name: str,
-    schema: pa.Schema,
-) -> pa.Table:
-    """Expand representative-level pairs to member-level pairs.
+    num_partitions: int,
+) -> rd.Dataset:
+    """Expand representative-level pairs to member-level pairs — fully
+    distributed (Dataset in, Dataset out; nothing touches the driver).
 
     Exact-duplicate docs were collapsed to one representative before
     candidate pairing; a verified rep pair extends to every member of
     both groups at the SAME value (identical content -> identical
-    signature/shingles). Membership rows are fetched for ONLY the groups
-    touched by a verified pair — linear in the verified near-dup count,
-    never corpus-sized — then the exact-duplicate pairs (kind=EXACT,
-    emitted once by band-0 buckets) are unioned in."""
-    exact_tbl = _to_table(_filter_kind(bucket_out, _KIND_EXACT), schema)
-    if rep_pairs.num_rows == 0:
-        return exact_tbl.sort_by(
-            [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
-        )
-    touched = set(rep_pairs.column("doc_id_a").to_pylist()) | set(
-        rep_pairs.column("doc_id_b").to_pylist()
-    )
-    touched_ref = ray.put(touched)
+    signature/shingles). The expansion is two hash joins of the verified
+    pair Dataset against the (rep, member) rows — a rep with no exact
+    group has no member rows, so the left-outer null coalesces back to
+    the rep itself — then the exact-duplicate pairs (kind=EXACT, emitted
+    once by band-0 buckets) are unioned in. Every stage is linear in the
+    verified near-dup count; at a 30-50%-dup 10^12-doc corpus the pair
+    list lives in the object store / output parquet, never on the
+    driver.
 
-    def touched_only(t: pa.Table) -> pa.Table:
-        tt = ray.get(touched_ref)
-        mask = pa.array(
-            [r in tt for r in t.column("doc_id_a").to_pylist()]
-        )
-        return t.filter(mask)
+    ``verified`` must be materialized (it is consumed by count + join).
+    """
+    import pyarrow.compute as pc
 
-    member_schema = pa.schema(
-        [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())]
+    exact = _filter_kind(bucket_out, _KIND_EXACT)
+    if verified.count() == 0:
+        return exact
+    # repartition before joining: upstream groupby/map stages emit
+    # schema-less zero-row blocks that pyarrow's join kernel rejects;
+    # a repartition of the (pair-sized) side unifies every block schema
+    verified = verified.repartition(num_partitions).materialize()
+    members = (
+        _filter_kind(bucket_out, _KIND_MEMBER)
+        .select_columns(["doc_id_a", "doc_id_b"])
+        .rename_columns({"doc_id_a": "rep", "doc_id_b": "member"})
+        .repartition(num_partitions)
+        .materialize()
     )
-    mem_tbl = _to_table(
-        _filter_kind(bucket_out, _KIND_MEMBER).map_batches(
-            touched_only, batch_format="pyarrow"
-        ),
-        member_schema,
+    if members.count() == 0:
+        # no multi-member exact groups anywhere: reps ARE the members
+        return verified.union(exact)
+
+    def fold_a(t: pa.Table) -> pa.Table:
+        a_m = pc.coalesce(t.column("member"), t.column("doc_id_a"))
+        return pa.table(
+            {"a_m": a_m.cast(pa.int64()),
+             "doc_id_b": t.column("doc_id_b"),
+             value_name: t.column(value_name)}
+        )
+
+    def fold_b(t: pa.Table) -> pa.Table:
+        b_m = pc.coalesce(t.column("member"), t.column("doc_id_b"))
+        lo = pc.min_element_wise(t.column("a_m"), b_m)
+        hi = pc.max_element_wise(t.column("a_m"), b_m)
+        return pa.table(
+            {"doc_id_a": lo.cast(pa.int64()),
+             "doc_id_b": hi.cast(pa.int64()),
+             value_name: t.column(value_name)}
+        )
+
+    half = (
+        verified.join(members, "left_outer", num_partitions,
+                      on=("doc_id_a",), right_on=("rep",))
+        .map_batches(fold_a, batch_format="pyarrow")
+        .repartition(num_partitions)  # re-unify block schemas for join 2
     )
-    members: dict[int, list[int]] = {}
-    for rep, mdoc in zip(mem_tbl.column("doc_id_a").to_pylist(),
-                         mem_tbl.column("doc_id_b").to_pylist()):
-        members.setdefault(rep, []).append(mdoc)
-    rows_a: list[int] = []
-    rows_b: list[int] = []
-    rows_v: list = []
-    for ra, rb, v in zip(rep_pairs.column("doc_id_a").to_pylist(),
-                         rep_pairs.column("doc_id_b").to_pylist(),
-                         rep_pairs.column(value_name).to_pylist()):
-        for ai in members.get(ra, (ra,)):
-            for bj in members.get(rb, (rb,)):
-                lo, hi = (ai, bj) if ai < bj else (bj, ai)
-                rows_a.append(lo)
-                rows_b.append(hi)
-                rows_v.append(v)
-    expanded = pa.table(
-        {"doc_id_a": pa.array(rows_a, type=pa.int64()),
-         "doc_id_b": pa.array(rows_b, type=pa.int64()),
-         value_name: pa.array(rows_v, type=schema.field(value_name).type)}
-    )
-    return pa.concat_tables([expanded, exact_tbl]).sort_by(
-        [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
-    )
+    expanded = half.join(
+        members, "left_outer", num_partitions,
+        on=("doc_id_b",), right_on=("rep",),
+    ).map_batches(fold_b, batch_format="pyarrow")
+    return expanded.union(exact)
 
 
 class MinHashBandStage:
@@ -415,29 +429,34 @@ class VerifyJaccard:
         )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_ds(
     docs_path: str | list[str],
     n: int = 3,
     threshold: float = 0.5,
     num_perm: int = 128,
     bands: int = 32,
     stats: dict | None = None,
-) -> pa.Table:
-    """Near-dup pairs via MinHash band LSH, verified by exact Jaccard.
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Near-dup pairs via MinHash band LSH, verified by exact Jaccard —
+    the Dataset form (the scale path: write_parquet it, anti-join it,
+    never collect it).
 
     Output contract == ngram_jaccard_pairs (pairs with exact J >= t); LSH
     only prunes the candidate space. With 128 perms / 32 bands x 4 rows
     the probability of missing a J=0.9 pair is (1-0.9^4)^32 ~ 5e-15.
 
-    Fully distributed (no driver-side candidate/text materialization):
+    Fully distributed end to end (nothing pair- or corpus-sized ever
+    touches the driver):
       band rows -> band_key groupby (exact groups collapse IN-bucket to
       representatives) -> candidate dedup via a distributed groupby ->
-      per-task pushdown-read verification -> member-level expansion.
+      per-task pushdown-read verification -> member-level expansion as
+      two hash joins (_expand_rep_pairs_ds).
     On a 30-50%-duplicate web corpus every stage is linear in duplicate
     density; the only corpus-sized exchange is the band-row shuffle
-    (~1 KB/doc at 32 bands). The final pa.Table is the PAIR LIST, which
-    is itself output-contract-sized; pipelines that only need the
-    cleaned corpus (apply_near_dedup) consume its doc_id_b column.
+    (~1 KB/doc at 32 bands). The pair list stays a Dataset in the object
+    store — persist with ``.write_parquet`` for resumable downstream
+    apply steps.
     """
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     bucket_out = (
@@ -456,44 +475,75 @@ def minhash_lsh_pairs(
     )
     verified = cand.map_batches(
         VerifyJaccard(docs_path, n, threshold), batch_format="pyarrow"
+    ).materialize()
+    out = _expand_rep_pairs_ds(
+        verified, bucket_out, "jaccard", num_partitions
     )
-    rep_pairs = _to_table(verified, PAIRS_SCHEMA)
-    out = _expand_rep_pairs(rep_pairs, bucket_out, "jaccard", PAIRS_SCHEMA)
     if stats is not None:
         # instrumentation for scale soaks (tools/dedup_soak.py): candidate
         # volume must grow ~linearly with duplicate count, not corpus^2
         stats["n_band_cand_rows"] = _filter_kind(
             bucket_out, _KIND_CAND
         ).count()
-        stats["n_rep_pairs"] = rep_pairs.num_rows
-        stats["n_pairs_out"] = out.num_rows
+        stats["n_rep_pairs"] = verified.count()
     return out
+
+
+def minhash_lsh_pairs(
+    docs_path: str | list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Oracle/small-scale wrapper over :func:`minhash_lsh_pairs_ds`:
+    collects the (output-contract-sized) pair Dataset into one sorted
+    ``pa.Table`` for SQL-oracle comparison and the pytest contracts. At
+    web scale call the ``_ds`` form and persist instead."""
+    out = minhash_lsh_pairs_ds(
+        docs_path, n=n, threshold=threshold, num_perm=num_perm,
+        bands=bands, stats=stats,
+    )
+    tbl = _to_table(out, PAIRS_SCHEMA).sort_by(
+        [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+    )
+    if stats is not None:
+        stats["n_pairs_out"] = tbl.num_rows
+    return tbl
 
 
 def apply_near_dedup(
     docs_path: str | list[str],
     n: int = 3,
     threshold: float = 0.5,
+    num_partitions: int = 8,
 ) -> rd.Dataset:
     """The training-data payoff of the dedup family: the CLEANED corpus.
 
     Removal rule: any doc that is the larger member (doc_id_b) of a
     near-dup pair at exact Jaccard >= t is dropped; the smallest doc of a
-    duplicate chain survives. Pairs come from the LSH scale path; the
-    removal set (tiny) broadcasts into a streaming filter — the corpus
-    itself never shuffles.
+    duplicate chain survives. Pairs come from the LSH scale path and the
+    removal is a DISTRIBUTED anti-join on doc_id (hash shuffle, linear
+    in corpus + pair count) — no removal set is ever collected on the
+    driver or broadcast whole, so a 30-50%-dup 10^12-doc corpus (~10^11
+    removal ids) streams through the object store partition by
+    partition.
     """
-    pairs = minhash_lsh_pairs(docs_path, n=n, threshold=threshold)
-    remove = set(pairs.column("doc_id_b").to_pylist())
-    remove_ref = ray.put(remove)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        rm = ray.get(remove_ref)
-        mask = [d not in rm for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        keep, batch_format="pyarrow"
+    pairs = minhash_lsh_pairs_ds(
+        docs_path, n=n, threshold=threshold, num_partitions=num_partitions
+    )
+    removals = (
+        pairs.select_columns(["doc_id_b"])
+        .repartition(num_partitions)  # unify block schemas for the join
+        .materialize()
+    )
+    corpus = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    if removals.count() == 0:
+        return corpus
+    return corpus.join(
+        removals, "left_anti", num_partitions,
+        on=("doc_id",), right_on=("doc_id_b",),
     )
 
 
@@ -630,17 +680,20 @@ def _simhash_bucket_fn(max_hamming: int):
     return bucket
 
 
-def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
-    """ALL doc pairs with SimHash hamming distance <= max_hamming (<= 3).
+def simhash_pairs_ds(
+    docs: rd.Dataset, max_hamming: int = 3, num_partitions: int = 8
+) -> rd.Dataset:
+    """ALL doc pairs with SimHash hamming distance <= max_hamming (<= 3)
+    — the Dataset form (persist / anti-join it; never collect at scale).
 
     Fully distributed permute-and-group (Manku WWW'07 block-combination
     tables — see _SIMHASH_COMBOS): doc -> 20 (bucket_key, doc_id, sig)
     rows -> bucket groupby with in-bucket signature collapse + local
     hamming verification -> distributed pair dedup (groupby Min) ->
-    member expansion. Recall is exact by pigeonhole for max_hamming <= 3;
-    no driver-side signature map, no pandas, no 2^16 bucket ceiling.
-    SQL-oracle-checkable because simhash64 uses the DuckDB-recomputable
-    md5-low64 term hash."""
+    member expansion as two hash joins (_expand_rep_pairs_ds). Recall is
+    exact by pigeonhole for max_hamming <= 3; no driver-side signature
+    map, no pandas, no 2^16 bucket ceiling. SQL-oracle-checkable because
+    simhash64 uses the DuckDB-recomputable md5-low64 term hash."""
     if max_hamming > 3:
         raise ValueError(
             "the 6-choose-3 block design guarantees exact recall only for "
@@ -652,28 +705,37 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
         .map_groups(_simhash_bucket_fn(max_hamming), batch_format="pyarrow")
         .materialize()
     )
-    rep_pairs = _to_table(
+    rep_pairs = (
         _filter_kind(bucket_out, _KIND_CAND)
         .groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(Min("hamming", alias_name="hamming")),
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .materialize()
+    )
+    return _expand_rep_pairs_ds(
+        rep_pairs, bucket_out, "hamming", num_partitions
+    )
+
+
+def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> pa.Table:
+    """Oracle/small-scale wrapper over :func:`simhash_pairs_ds` (sorted
+    ``pa.Table`` for SQL comparison)."""
+    return _to_table(
+        simhash_pairs_ds(docs, max_hamming=max_hamming),
         SIMHASH_PAIRS_SCHEMA,
-    )
-    return _expand_rep_pairs(
-        rep_pairs, bucket_out, "hamming", SIMHASH_PAIRS_SCHEMA
-    )
+    ).sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 
 # --------------------------------------------------------------------------
 # near-dup connected components (cluster view of the pair graph)
 # --------------------------------------------------------------------------
 
-def dup_components(
+def dup_components_ds(
     docs_path: str | list[str],
     n: int = 3,
     threshold: float = 0.5,
     num_partitions: int = 8,
     max_iters: int = 32,
-) -> pa.Table:
+) -> rd.Dataset:
     """Connected components over the near-dup pair graph: (doc_id,
     component_id) for every doc incident to at least one pair, where
     component_id = the smallest doc_id reachable through pairs — the
@@ -685,22 +747,27 @@ def dup_components(
     ``num_partitions``-way) and takes a per-node min — labels only
     decrease, so comparing the label-sum between rounds is an exact
     fixpoint test. Rounds needed = graph diameter (near-dup clusters are
-    star-like and shallow in practice). Everything stays a Dataset; no
-    driver-side graph is built. SQL oracle: recursive CTE reachability.
+    star-like and shallow in practice). Everything — the pair list
+    included — stays a Dataset end to end; no driver-side graph is ever
+    built. SQL oracle: recursive CTE reachability.
     """
     from ray.data.aggregate import Min as AggMin, Sum as AggSum
 
-    pairs = minhash_lsh_pairs(docs_path, n=n, threshold=threshold)
-    if pairs.num_rows == 0:
-        return pa.schema(
-            [("doc_id", pa.int64()), ("component_id", pa.int64())]
-        ).empty_table()
-    a = pairs.column("doc_id_a")
-    b = pairs.column("doc_id_b")
-    edges = rd.from_arrow(pa.table({
-        "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-        "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
-    }))
+    label_schema = pa.schema(
+        [("doc_id", pa.int64()), ("component_id", pa.int64())]
+    )
+    pairs = minhash_lsh_pairs_ds(
+        docs_path, n=n, threshold=threshold, num_partitions=num_partitions
+    ).materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(label_schema.empty_table())
+    fwd = pairs.select_columns(["doc_id_a", "doc_id_b"]).rename_columns(
+        {"doc_id_a": "node", "doc_id_b": "nbr"}
+    )
+    rev = pairs.select_columns(["doc_id_a", "doc_id_b"]).rename_columns(
+        {"doc_id_a": "nbr", "doc_id_b": "node"}
+    )
+    edges = fwd.union(rev).repartition(num_partitions).materialize()
     labels = edges.groupby("node").aggregate(AggMin("nbr")).map_batches(
         lambda t: pa.table({
             "node": t.column("node"),
@@ -739,19 +806,31 @@ def dup_components(
             "rounds (pair-graph diameter exceeds max_iters); raise "
             "max_iters"
         )
-    out = _to_table(
-        labels,
-        pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-    )
-    return out.rename_columns(["doc_id", "component_id"]).sort_by(
-        [("doc_id", "ascending")]
-    )
+    return labels.rename_columns({"node": "doc_id", "label": "component_id"})
+
+
+def dup_components(
+    docs_path: str | list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    max_iters: int = 32,
+) -> pa.Table:
+    """Oracle/small-scale wrapper over :func:`dup_components_ds` (sorted
+    ``pa.Table`` for SQL comparison)."""
+    return _to_table(
+        dup_components_ds(docs_path, n=n, threshold=threshold,
+                          num_partitions=num_partitions,
+                          max_iters=max_iters),
+        pa.schema([("doc_id", pa.int64()), ("component_id", pa.int64())]),
+    ).sort_by([("doc_id", "ascending")])
 
 
 def apply_component_dedup(
     docs_path: str | list[str],
     n: int = 3,
     threshold: float = 0.5,
+    num_partitions: int = 8,
 ) -> rd.Dataset:
     """Cluster-level cleaned corpus: ONE survivor per near-dup connected
     component (the component's min doc_id), all unclustered docs kept.
@@ -759,23 +838,31 @@ def apply_component_dedup(
     This is the semantically strongest dedup guarantee — transitive
     chains (A~B~C with A!~C) keep exactly one doc, where the pairwise
     rule of apply_near_dedup can keep A while dropping both B and C.
-    The removal set (non-canonical component members) broadcasts into a
-    streaming filter; the corpus itself never shuffles."""
-    comps = dup_components(docs_path, n=n, threshold=threshold)
-    remove = {
-        d for d, c in zip(comps.column("doc_id").to_pylist(),
-                          comps.column("component_id").to_pylist())
-        if d != c
-    }
-    remove_ref = ray.put(remove)
+    Removal is a distributed anti-join against the non-canonical
+    component members (labels stay a Dataset; nothing is collected on
+    the driver or broadcast whole) — the same scale shape as
+    :func:`apply_near_dedup`."""
+    import pyarrow.compute as pc
 
-    def keep(batch: pa.Table) -> pa.Table:
-        rm = ray.get(remove_ref)
-        mask = [d not in rm for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask))
+    comps = dup_components_ds(
+        docs_path, n=n, threshold=threshold, num_partitions=num_partitions
+    )
 
-    return rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        keep, batch_format="pyarrow"
+    def non_canonical(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t.column("doc_id"), t.column("component_id"))
+        return t.filter(mask).select(["doc_id"]).rename_columns(["rm_id"])
+
+    removals = (
+        comps.map_batches(non_canonical, batch_format="pyarrow")
+        .repartition(num_partitions)  # unify block schemas for the join
+        .materialize()
+    )
+    corpus = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    if removals.count() == 0:
+        return corpus
+    return corpus.join(
+        removals, "left_anti", num_partitions,
+        on=("doc_id",), right_on=("rm_id",),
     )
 
 

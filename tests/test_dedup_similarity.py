@@ -212,3 +212,63 @@ def test_ann_ivf_pruned_read_touches_only_probed_cells(ray_session):
         nprobe=None, scan_stats=full,
     )
     assert full["rows_scanned"] == full["n_vectors"]
+
+
+def test_dedup_dataset_forms_match_table_wrappers(ray_session, tmp_path):
+    """The _ds forms are the scale contract: same pairs as the table
+    wrappers, and the apply paths drop duplicates via a distributed
+    anti-join (no driver removal set)."""
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        apply_near_dedup,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_ds,
+    )
+
+    path = _write_dup_corpus(tmp_path)
+    tbl = minhash_lsh_pairs(path, n=3, threshold=0.5)
+    ds_rows = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs_ds(path, n=3, threshold=0.5)
+        .take_all()
+    )
+    tbl_rows = sorted(zip(tbl.column("doc_id_a").to_pylist(),
+                          tbl.column("doc_id_b").to_pylist(),
+                          tbl.column("jaccard").to_pylist()))
+    assert ds_rows == tbl_rows
+
+    cleaned = sorted(
+        r["doc_id"] for r in apply_near_dedup(path, n=3, threshold=0.5)
+        .take_all()
+    )
+    removed = set(tbl.column("doc_id_b").to_pylist())
+    expected = sorted(
+        d for d in rd.read_parquet(path).unique("doc_id")
+        if d not in removed
+    )
+    assert cleaned == expected  # survivors = corpus minus pair b-sides
+
+
+def test_apply_near_dedup_no_duplicates_returns_full_corpus(
+    ray_session, tmp_path
+):
+    """Empty pair list (no near-dups): the anti-join path must not
+    crash on the empty removal side and must keep every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        apply_near_dedup,
+    )
+
+    rows = {
+        "doc_id": [1, 2],
+        "text": [
+            "completely unrelated text about distributed query engines",
+            "another unrelated document discussing parquet file layouts",
+        ],
+    }
+    path = str(tmp_path / "nodups.parquet")
+    pq.write_table(pa.table(rows), path)
+    out = sorted(r["doc_id"] for r in
+                 apply_near_dedup(path, n=3, threshold=0.5).take_all())
+    assert out == [1, 2]

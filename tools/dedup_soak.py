@@ -11,7 +11,18 @@ two corpus sizes and reports:
     candidate texts or shingle sets, only the output pair list)
 
 Usage:  python tools/dedup_soak.py [n_docs ...]   (default: 30000 100000)
-"""
+
+Pair-volume mode (VERDICT r2 fix #1 'done' evidence):
+
+    python tools/dedup_soak.py --pairvol [n_groups copies]
+
+Synthesizes a corpus of ``n_groups`` distinct texts x ``copies`` exact
+copies each — member-level expansion then yields n_groups * C(copies,2)
+pairs, far more bytes than any sane driver budget — and runs the
+DATASET path end to end: ``minhash_lsh_pairs_ds(...).write_parquet``
+then ``apply_near_dedup`` (distributed anti-join). Reports the pair
+volume written to parquet and the driver max-RSS delta, which must stay
+flat (pairs and removal ids never touch the driver)."""
 
 from __future__ import annotations
 
@@ -69,11 +80,93 @@ def rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def make_group_corpus(path: str, n_groups: int, copies: int,
+                      seed: int = 11) -> int:
+    """``n_groups`` distinct ~45-word texts, each repeated ``copies``
+    times (shuffled). Returns total docs."""
+    rng = np.random.RandomState(seed)
+    texts: list[str] = []
+    for _ in range(n_groups):
+        k = rng.randint(40, 50)
+        texts.append(" ".join(WORDS[i] for i in rng.randint(0, len(WORDS), k)))
+    all_texts = [t for t in texts for _ in range(copies)]
+    n = len(all_texts)
+    order = rng.permutation(n)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([all_texts[i] for i in order]),
+    }), path)
+    return n
+
+
+def pairvol_main(args: list[str]) -> None:
+    import shutil
+
+    import ray
+
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        apply_near_dedup,
+        minhash_lsh_pairs_ds,
+    )
+
+    n_groups = int(args[0]) if args else 400
+    copies = int(args[1]) if len(args) > 1 else 250
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("SIM_CPUS", 16)),
+                 include_dashboard=False)
+    path = f"/tmp/dedup_pairvol_{n_groups}x{copies}.parquet"
+    out_dir = "/tmp/dedup_pairvol_pairs"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n_docs = make_group_corpus(path, n_groups, copies)
+    expected_pairs = n_groups * copies * (copies - 1) // 2
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    minhash_lsh_pairs_ds(path, n=3, threshold=0.5).write_parquet(out_dir)
+    t_pairs = time.perf_counter() - t0
+    pair_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(out_dir) for f in fs
+    )
+    n_pairs = pq.read_table(out_dir, columns=["doc_id_a"]).num_rows
+    rss1 = rss_mb()
+    t0 = time.perf_counter()
+    n_kept = apply_near_dedup(path, n=3, threshold=0.5).count()
+    t_apply = time.perf_counter() - t0
+    rss2 = rss_mb()
+    report = {
+        "mode": "pairvol",
+        "n_docs": n_docs,
+        "n_groups": n_groups,
+        "copies": copies,
+        "n_pairs_written": n_pairs,
+        "expected_pairs": expected_pairs,
+        "pair_parquet_mb": round(pair_bytes / 1e6, 1),
+        "pairs_sec": round(t_pairs, 2),
+        "apply_survivors": n_kept,
+        "apply_sec": round(t_apply, 2),
+        "driver_rss_mb_before": round(rss0, 1),
+        "driver_rss_mb_after_pairs": round(rss1, 1),
+        "driver_rss_mb_after_apply": round(rss2, 1),
+        "driver_rss_delta_mb": round(rss2 - rss0, 1),
+        # the claim under test: pair volume >> driver growth
+        "rss_flat_vs_pair_volume": bool(
+            (rss2 - rss0) * 1e6 < 0.25 * max(pair_bytes, 1)
+            or (rss2 - rss0) < 300.0
+        ),
+    }
+    print(json.dumps(report))
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
 
     from semantic_pdf_search_engine_ray.pipelines.dedup import minhash_lsh_pairs
 
+    if sys.argv[1:2] == ["--pairvol"]:
+        pairvol_main(sys.argv[2:])
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [30_000, 100_000]
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=int(os.environ.get("SIM_CPUS", 16)),
