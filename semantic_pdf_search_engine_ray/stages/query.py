@@ -292,22 +292,57 @@ class IndexReader:
             scores[src_doc_id] = 0.0  # never recommend the source
         return self._topk_from_scores(scores, k)
 
+    # deletion distance the lazily-built SymSpell index covers; queries
+    # at a larger max_dist fall back to the exhaustive dictionary scan
+    _SYMSPELL_DIST = 2
+
+    def _symspell_index(self) -> dict[str, list[str]]:
+        """Lazily-built SymSpell deletion index over the dictionary:
+        deletion key -> terms whose _SYMSPELL_DIST-deletion neighborhood
+        contains it. Built ONCE per reader on first suggest() call; per
+        query, candidate generation is O(|D(query)|) hash probes instead
+        of an O(|vocab|) banded-DP scan (the r2 serve-path ceiling)."""
+        idx = getattr(self, "_symspell", None)
+        if idx is None:
+            from semantic_pdf_search_engine_ray.pipelines.spell import (
+                deletion_keys,
+            )
+
+            idx = {}
+            for t in self.df:
+                for k in deletion_keys(t, self._SYMSPELL_DIST):
+                    idx.setdefault(k, []).append(t)
+            self._symspell = idx
+        return idx
+
     def suggest(
         self, term: str, max_dist: int = 2, top_n: int = 3
     ) -> list[tuple[str, int]]:
         """Did-you-mean for one term: (term, distance) suggestions from
         the in-memory dictionary, ranked distance ASC / df DESC / term
         ASC — the reader-local counterpart of the distributed
-        ``pipelines.spell.spell_suggestions`` (same contract)."""
+        ``pipelines.spell.spell_suggestions`` (same contract, and the
+        same SymSpell candidate pruning: exact recall, so results are
+        identical to the exhaustive scan)."""
         from semantic_pdf_search_engine_ray.pipelines.spell import (
             bounded_levenshtein,
+            deletion_keys,
         )
 
+        if max_dist <= self._SYMSPELL_DIST:
+            idx = self._symspell_index()
+            cand_terms: set[str] = set()
+            for k in deletion_keys(term, max_dist):
+                hit = idx.get(k)
+                if hit is not None:
+                    cand_terms.update(hit)
+        else:  # index covers dist <= _SYMSPELL_DIST only
+            cand_terms = set(self.df)
         cands = []
-        for t, df in self.df.items():
+        for t in cand_terms:
             d = bounded_levenshtein(term, t, max_dist)
             if d <= max_dist:
-                cands.append((d, -int(df), t))
+                cands.append((d, -int(self.df[t]), t))
         cands.sort()
         return [(t, d) for d, _ndf, t in cands[:top_n]]
 
