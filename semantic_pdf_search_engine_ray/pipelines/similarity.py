@@ -392,7 +392,7 @@ def cluster_assign(
     Scale shape: k x dim centroids broadcast once; assignment is one
     streaming map_batches."""
     from semantic_pdf_search_engine_ray.functions.num import (
-        round6_half_away,
+        round6_half_away_arr,
     )
 
     _cids, cmat = load_query_matrix(emb_path, n_clusters, id_col, emb_col)
@@ -410,7 +410,7 @@ def cluster_assign(
             np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
         )
         cos = mat @ cm.T
-        r6 = np.vectorize(round6_half_away)(cos)
+        r6 = round6_half_away_arr(cos)
         # np.argmax returns the FIRST max -> lowest cluster id on ties
         cl = np.argmax(r6, axis=1).astype(np.int64)
         return pa.table(
@@ -441,6 +441,7 @@ def semdedup_pairs(
     construction of the assignment, so the SQL oracle is exact here."""
     from semantic_pdf_search_engine_ray.functions.num import (
         round6_half_away,
+        round6_half_away_arr,
     )
 
     # assignment is computed IN the batch that already holds the vector
@@ -458,7 +459,7 @@ def semdedup_pairs(
         mat = _normalize(
             np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
         )
-        r6 = np.vectorize(round6_half_away)(mat @ cm.T)
+        r6 = round6_half_away_arr(mat @ cm.T)
         cl = np.argmax(r6, axis=1).astype(np.int64)
         return batch.append_column("cluster", pa.array(cl, type=pa.int64()))
 

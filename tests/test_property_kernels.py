@@ -105,6 +105,22 @@ def test_round6_half_away_matches_duckdb_semantics(x):
     assert (r >= 0) == (x >= 0) or r == 0.0
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_infinity=False),
+                min_size=0, max_size=32))
+def test_round6_arr_element_identical_to_scalar(xs):
+    import numpy as np
+
+    from semantic_pdf_search_engine_ray.functions.num import (
+        round6_half_away,
+        round6_half_away_arr,
+    )
+
+    arr = round6_half_away_arr(np.array(xs, dtype=np.float64))
+    assert arr.tolist() == [round6_half_away(x) for x in xs]
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(st.integers(min_value=-32768, max_value=32767), max_size=64),
