@@ -347,11 +347,14 @@ class IndexReader:
         return [(t, d) for d, _ndf, t in cands[:top_n]]
 
     def top_k_prefix(
-        self, prefix: str, k: int, max_expand: int = 16
+        self, prefix: str, k: int, max_expand: int = 16,
+        allowed: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Wildcard (``prefix*``) BM25: disjunctive dense scoring over
         the expanded term set — a query feature the reference's exact
-        term lookup cannot express (engine addition)."""
+        term lookup cannot express (engine addition). ``allowed`` is the
+        same optional doc-subset mask as ``top_k_exhaustive`` — docs
+        outside it never rank, so wildcard and doc-filters compose."""
         scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
         for term in self.expand_prefix(prefix, max_expand):
@@ -363,6 +366,8 @@ class IndexReader:
             touched = True
         if not touched:
             return []
+        if allowed is not None:
+            scores[~allowed] = 0.0
         return self._topk_from_scores(scores, k)
 
     def top_k_conjunctive(self, query: str, k: int) -> list[tuple[int, float]]:
@@ -575,7 +580,6 @@ class QueryActor:
                 "doc-subset filter + conjunctive scoring are not "
                 "composed yet; use method='auto' with the filter"
             )
-        self._no_filter = filter_col is None
         if filter_col is not None:
             # doc-subset predicate resolved ONCE per actor from the docs
             # store (J2 filename-filter analog, `qdrant.rs:84-93`)
@@ -588,6 +592,12 @@ class QueryActor:
             ids = f_tbl.column("doc_id").to_numpy()
             allowed[ids[[v == filter_value for v in vals]]] = True
             self.score = lambda q, k: self.reader.top_k_filtered(q, k, allowed)
+            # wildcard + filter COMPOSE: the dense prefix scorer takes
+            # the same doc mask, so `data*` under a filter ranks only
+            # the allowed subset instead of bypassing the filter
+            self._prefix_fn = lambda p, k: self.reader.top_k_prefix(
+                p, k, allowed=allowed
+            )
         else:
             self.score = {
                 "auto": self.reader.top_k_auto,
@@ -595,15 +605,11 @@ class QueryActor:
                 "exhaustive": self.reader.top_k_exhaustive,
                 "conjunctive": self.reader.top_k_conjunctive,
             }[method]
+            self._prefix_fn = self.reader.top_k_prefix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # wildcard routing only when no doc-subset filter is active
-        # (prefix + filter are not composed; routing would silently
-        # drop the filter)
-        prefix_fn = (self.reader.top_k_prefix
-                     if getattr(self, "_no_filter", True) else None)
         return score_query_batch(batch, self.score, self.k,
-                                 prefix_fn=prefix_fn)
+                                 prefix_fn=self._prefix_fn)
 
 
 def score_query_batch(

@@ -228,3 +228,50 @@ def test_batch_tier_routes_wildcard_queries(ray_session, built_index):
         for r in res[res.query_id == 1].sort_values("rank").itertuples()
     ]
     assert exact == reader.top_k_auto(head, 5)
+
+
+def test_wildcard_composes_with_doc_filter(ray_session, built_index):
+    """'data*' under filter_col=lang must rank ONLY allowed docs, using
+    the same dense prefix scorer with the mask AND-ed in — not silently
+    skip the filter and not fall through to zero-hit exact search."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.search import run_queries
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir, _manifest = built_index
+    reader = IndexReader(index_dir)
+    head = sorted(reader.df, key=lambda t: (-reader.df[t], t))[0]
+    prefix = head[:3]
+
+    docs = pq.read_table(os.path.join(index_dir, "docs"),
+                         columns=["doc_id", "lang"])
+    allowed = np.zeros(len(reader.doc_len), dtype=bool)
+    ids = docs.column("doc_id").to_numpy()
+    en = np.array([v == "en" for v in docs.column("lang").to_pylist()])
+    allowed[ids[en]] = True
+    assert 0 < allowed.sum() < allowed.size  # the filter is non-trivial
+
+    queries = pa.table({
+        "query_id": pa.array([0], type=pa.int64()),
+        "query": pa.array([f"{prefix}*"], type=pa.string()),
+    })
+    res = run_queries(index_dir, rd.from_arrow(queries), k=5,
+                      filter_col="lang", filter_value="en").to_pandas()
+    got = [
+        (int(r.doc_id), float(r.score))
+        for r in res.sort_values("rank").itertuples()
+    ]
+    assert got, "filtered wildcard query returned nothing"
+    assert got == reader.top_k_prefix(prefix, 5, allowed=allowed)
+    assert all(allowed[d] for d, _ in got)
+    # and it differs from the unfiltered ranking iff a non-en doc ranked
+    unfiltered = reader.top_k_prefix(prefix, 5)
+    if any(not allowed[d] for d, _ in unfiltered):
+        assert got != unfiltered
