@@ -10,11 +10,13 @@ The driver initialises Ray BEFORE importing this module; nothing here
 - ``queries()`` / ``oracle_sql()``: one entry per implemented operator
   (SURVEY.md §2 inventory + training-data additions), paired with DuckDB
   SQL computing the same table over the same parquet views. Entries
-  without SQL (fuzzy highlights, chunker outputs, winnowing, pruned-probe
-  IVF) get the driver's rows-only check; the exact variants of those
-  families DO carry oracles — r2 upgraded simhash (full signature
-  recomputation via md5_number_lower), full-probe IVF (== brute SQL) and
-  chunk retrieval (pure-Python OracleIndex in pytest) from rows-only.
+  without SQL (fuzzy highlights, chunker outputs, pruned-probe IVF) get
+  the driver's rows-only check; the exact variants of those families DO
+  carry oracles — r2 upgraded simhash (full signature recomputation via
+  md5_number_lower), full-probe IVF (== brute SQL) and chunk retrieval
+  (pure-Python OracleIndex in pytest) from rows-only; r3 upgraded
+  winnowing (md5-low64 k-gram hashes + windowed-min in SQL) and gave
+  highlights a pure-Python span-value oracle in pytest.
 """
 
 from __future__ import annotations

@@ -143,31 +143,33 @@ def winnow_fingerprints(
     text: str, k: int = 8, window: int = 4
 ) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    rolling hashes of char k-grams, min-sampled per window, deduped,
-    order of first selection preserved. Rows-only op (no SQL analog)."""
+    hashes of char k-grams, min-sampled per window with the rightmost-
+    minimum tie rule, deduped, order of first selection preserved.
+
+    K-gram hash is ``md5_hash64`` (== DuckDB ``md5_number_lower`` over
+    ``substr``) so the whole fingerprint set is recomputable in SQL —
+    the winnow selection itself is a windowed rightmost-argmin, which
+    SQL expresses with ``min() OVER (ROWS k-1 PRECEDING)`` + position
+    arithmetic (see conformance ``_SQL_WINNOW``)."""
     n = len(text)
     if n < k:
         return []
     grams = np.fromiter(
-        (stable_hash64(text[i : i + k]) for i in range(n - k + 1)),
+        (md5_hash64(text[i : i + k]) for i in range(n - k + 1)),
         dtype=np.uint64,
         count=n - k + 1,
     )
     if len(grams) <= window:
         return [int(grams.min())]
-    out: list[int] = []
-    last = -1
-    for s in range(len(grams) - window + 1):
-        w = grams[s : s + window]
-        # rightmost minimum (standard winnowing tie rule)
-        m = int(window - 1 - np.argmin(w[::-1]))
-        pos = s + m
-        if pos != last:
-            out.append(int(w[m]))
-            last = pos
+    # vectorized rightmost-argmin per sliding window
+    wins = np.lib.stride_tricks.sliding_window_view(grams, window)
+    m = window - 1 - np.argmin(wins[:, ::-1], axis=1)
+    pos = np.arange(len(wins)) + m
+    keep = np.concatenate(([True], pos[1:] != pos[:-1]))
+    out = grams[pos[keep]]
     seen: dict[int, None] = {}
     for f in out:
-        seen[f] = None
+        seen[int(f)] = None
     return list(seen)
 
 

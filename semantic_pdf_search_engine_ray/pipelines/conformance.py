@@ -215,7 +215,8 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
 
 
 def q_winnow(sf_dir: str) -> rd.Dataset:
-    """Winnowing fingerprints (rows-only: no SQL analog)."""
+    """Winnowing fingerprints (oracle: _SQL_WINNOW recomputes the
+    md5-low64 k-gram hashes and the windowed-min selection)."""
     return ts.fingerprints(read_docs(sf_dir)).select_columns(
         ["doc_id", "n_winnow", "min_winnow"]
     )
@@ -1398,6 +1399,56 @@ SELECT doc_id,
 FROM documents
 """
 
+# Winnowing (Schleimer'03) recomputed in SQL: per-position k-gram
+# hashes via md5_number_lower (== shingle.md5_hash64), per-window min
+# via min() OVER (ROWS k-1 PRECEDING); the set of window-minimum VALUES
+# equals the set of winnow-selected fingerprints (position dedup only
+# collapses runs, value dedup is applied in both).  Docs with 1..3
+# k-grams take the single-min branch, <1 k-gram the empty branch —
+# mirrors winnow_fingerprints exactly (k=8, window=4).
+_SQL_WINNOW = f"""
+WITH canon AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text, {_TRIM_CHARS})),
+                        '[ \\t\\n\\r]+', ' ', 'g') AS c
+  FROM documents
+),
+ph AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(c) - 7)) AS i,
+         unnest(list_transform(generate_series(1, length(c) - 7),
+                               j -> md5_number_lower(substr(c, j, 8)))) AS h
+  FROM canon WHERE length(c) >= 8
+),
+ng AS (SELECT doc_id, count(*) AS n FROM ph GROUP BY doc_id),
+win AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM ph
+),
+agg AS (
+  SELECT w.doc_id, count(DISTINCT w.wmin)::BIGINT AS n_winnow,
+         min(w.wmin) AS minv
+  FROM win w JOIN ng ON ng.doc_id = w.doc_id AND ng.n >= 4
+  WHERE w.i >= 4
+  GROUP BY w.doc_id
+),
+small AS (
+  SELECT p.doc_id, 1::BIGINT AS n_winnow, min(p.h) AS minv
+  FROM ph p JOIN ng ON ng.doc_id = p.doc_id AND ng.n <= 3
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_winnow, s.n_winnow, 0)::BIGINT AS n_winnow,
+       CASE WHEN a.doc_id IS NOT NULL THEN lower(lpad(hex(a.minv), 16, '0'))
+            WHEN s.doc_id IS NOT NULL THEN lower(lpad(hex(s.minv), 16, '0'))
+            ELSE '' END AS min_winnow
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN small s ON s.doc_id = d.doc_id
+"""
+
 _SQL_UNIGRAM_LL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -2251,6 +2302,7 @@ ORACLE_SQL = {
     "quality": _SQL_QUALITY,
     "lang_id": _SQL_LANG_ID,
     "fingerprint": _SQL_FINGERPRINT,
+    "winnow_fingerprint": _SQL_WINNOW,
     "unigram_logprob": _SQL_UNIGRAM_LL,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
@@ -2315,6 +2367,8 @@ ORACLE_SQL = {
     "curation_report": _SQL_CURATION_REPORT_TMPL.format(
         quality_filter_sql=_SQL_QUALITY_FILTER
     ),
-    # rows-only (non-SQL-expressible): winnow_fingerprint, chunks,
-    # normalize, highlights, ann_ivf_pruned
+    # rows-only (non-SQL-expressible): chunks, normalize, highlights
+    # (pure-Python value oracle in tests/test_conformance_oracle.py),
+    # ann_ivf_pruned (approximate by design; full-probe IVF is
+    # oracle-exact)
 }

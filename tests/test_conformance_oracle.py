@@ -57,6 +57,7 @@ SUBSET = [
     "bm25_prefix_topk",
     "spell_suggest",
     "more_like_this",
+    "winnow_fingerprint",
 ]
 
 
