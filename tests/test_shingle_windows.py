@@ -146,3 +146,48 @@ def test_conjunctive_equals_filtered_exhaustive(ray_session):
     exh = [(d, s) for d, s in reader.top_k_exhaustive(q, 10**6) if d in both][:10]
     assert [d for d, _ in conj] == [d for d, _ in exh]
     assert np.allclose([s for _, s in conj], [s for _, s in exh], rtol=0, atol=0)
+
+
+def test_sliding_agg_negative_epoch_matches_oracle(ray_session):
+    """VERDICT r2 wrong #5: pre-1970 timestamps — the engine's floored
+    modulo and the SQL oracle's ((e % step) + step) % step mirror must
+    agree, and every event must land inside its windows."""
+    import duckdb
+    import pandas as pd
+
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+    from semantic_pdf_search_engine_ray.pipelines.windows import sliding_agg
+
+    ts = pd.to_datetime(
+        ["1969-12-31 23:59:59", "1969-12-31 23:10:00", "1969-07-20 20:17:40",
+         "1970-01-01 00:00:00", "1970-01-01 00:29:59", "1945-05-08 02:41:00"]
+    )
+    df = pd.DataFrame(
+        {"ts": ts,
+         "event_type": ["a", "a", "b", "a", "b", "b"],
+         "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+    )
+    got = (
+        sliding_agg(rd.from_pandas(df), size_s=3600, step_s=1800)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = (
+        con.execute(cf.ORACLE_SQL["events_sliding"]).df()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], ref[sorted(ref.columns)]
+    )
+    # containment: each event lies in both of its windows
+    e = df["ts"].astype("int64") // 10**9
+    for _, row in got.iterrows():
+        w = row["window_start"]
+        mask = (df["event_type"] == row["event_type"]) & (e >= w) & (e < w + 3600)
+        assert mask.sum() == row["n_events"]
