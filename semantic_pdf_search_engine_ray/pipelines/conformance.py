@@ -999,6 +999,12 @@ def q_dedup_lines(sf_dir: str) -> rd.Dataset:
     return ts.dedup_lines(read_docs(sf_dir))
 
 
+def q_global_line_dedup(sf_dir: str) -> rd.Dataset:
+    """CROSS-doc duplicate-line removal (C4/RefinedWeb), first
+    occurrence in (doc_id, line_idx) order survives."""
+    return dd.global_line_dedup(documents_path(sf_dir))
+
+
 def q_cluster_assign(sf_dir: str) -> rd.Dataset:
     """Embedding-space cluster assignment against pinned centroids (the
     8 lowest-vec_id vectors); 6-dp-rounded argmax on both engines."""
@@ -2050,6 +2056,36 @@ SELECT c.doc_id, c.n_lines_in, a.n_lines_kept, a.cleaned_md5
 FROM cnt c JOIN agg a USING (doc_id)
 """
 
+# CROSS-doc line dedup: blank (space/tab/CR-only) lines never
+# participate; a participating line is kept iff it is the first
+# occurrence of its exact text in (doc_id, idx) order anywhere in the
+# corpus — the engine's groupby(line_md5).min(doc_id*STRIDE+idx).
+_SQL_GLOBAL_LINE_DEDUP = """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+ln AS (
+  SELECT doc_id, unnest(l) AS line,
+         unnest(generate_series(1, len(l))) AS idx
+  FROM ls
+),
+marked AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN trim(line, ' ' || chr(9) || chr(13)) = '' THEN TRUE
+              ELSE row_number() OVER (
+                     PARTITION BY CASE
+                       WHEN trim(line, ' ' || chr(9) || chr(13)) = ''
+                       THEN NULL ELSE md5(line) END
+                     ORDER BY doc_id, idx) = 1
+         END AS kept
+  FROM ln
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines_in,
+       (count(*) FILTER (WHERE kept))::BIGINT AS n_lines_kept,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                    FILTER (WHERE kept), '')) AS cleaned_md5
+FROM marked GROUP BY doc_id
+"""
+
 _SQL_CLUSTER_ASSIGN = """
 WITH c AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
@@ -2291,6 +2327,7 @@ QUERIES = {
     "embedding_cluster_assign": q_cluster_assign,
     "semdedup_pairs": q_semdedup_pairs,
     "dedup_lines": q_dedup_lines,
+    "global_line_dedup": q_global_line_dedup,
     "decontaminate_apply": q_decontaminate_apply,
     "quality_filter": q_quality_filter,
     "curation_report": q_curation_report,
@@ -2362,6 +2399,7 @@ ORACLE_SQL = {
     "embedding_cluster_assign": _SQL_CLUSTER_ASSIGN,
     "semdedup_pairs": _SQL_SEMDEDUP,
     "dedup_lines": _SQL_DEDUP_LINES,
+    "global_line_dedup": _SQL_GLOBAL_LINE_DEDUP,
     "decontaminate_apply": _SQL_DECONTAMINATE_APPLY,
     "quality_filter": _SQL_QUALITY_FILTER,
     "curation_report": _SQL_CURATION_REPORT_TMPL.format(

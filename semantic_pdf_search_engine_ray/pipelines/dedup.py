@@ -1013,3 +1013,143 @@ def apply_decontamination(
         return batch.filter(pa.array(mask))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Cross-document line dedup (C4 / RefinedWeb "remove any line duplicated
+# anywhere in the corpus, keep the first occurrence")
+# --------------------------------------------------------------------------
+
+# combined (doc_id, line_idx) order key: idx is 1-based and capped so the
+# lexicographic (doc_id, idx) order maps to one int64 comparison
+_LINE_IDX_STRIDE = 1 << 20  # max 1,048,575 lines per document
+
+
+def _is_blank_line(line: str) -> bool:
+    """Blank (space/tab/CR only) lines never participate in cross-doc
+    dedup — they are layout, not content. Pinned to the SQL mirror
+    trim(line, ' ' || chr(9) || chr(13)) = ''."""
+    return line.strip(" \t\r") == ""
+
+
+def _line_occ_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> one row per PARTICIPATING (non-blank) line:
+    (line_md5, pos) with pos = doc_id * STRIDE + idx (idx 1-based)."""
+    md5s: list[str] = []
+    poss: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        lines = text.split("\n")
+        if len(lines) >= _LINE_IDX_STRIDE:
+            raise ValueError(
+                f"doc {doc_id}: {len(lines)} lines exceeds the "
+                f"{_LINE_IDX_STRIDE - 1}-line contract")
+        base = doc_id * _LINE_IDX_STRIDE
+        for idx, line in enumerate(lines, start=1):
+            if _is_blank_line(line):
+                continue
+            md5s.append(hashlib.md5(line.encode("utf-8")).hexdigest())
+            poss.append(base + idx)
+    return pa.table(
+        {"line_md5": pa.array(md5s, type=pa.string()),
+         "pos": pa.array(poss, type=pa.int64())}
+    )
+
+
+def global_line_dedup(
+    docs_path: str | list[str], num_partitions: int = 8
+) -> rd.Dataset:
+    """Corpus-wide duplicate-line removal: any non-blank line whose exact
+    text appears anywhere else in the corpus is dropped UNLESS this is
+    the first occurrence in (doc_id, line_idx) order (C4 §2.2 /
+    RefinedWeb line dedup; the cross-document counterpart of the
+    intra-doc ``textstats.dedup_lines``).
+
+    Distributed shape — nothing corpus-sized on the driver:
+      1. line occurrences (line_md5, pos) — 16 B + hash per line, the
+         line TEXT never shuffles;
+      2. first occurrence per hash: ONE ``groupby(line_md5).min(pos)``;
+      3. removals = occurrences join firsts where pos != min (hash join
+         on line_md5);
+      4. per-doc removal lists (groupby doc_id, list-collect) joined
+         back to the corpus (left outer on doc_id), final map re-splits
+         each doc and drops its removed idxs.
+    Returns (doc_id, n_lines_in, n_lines_kept, cleaned_md5) where
+    cleaned_md5 = md5 of the kept lines re-joined with newlines.
+    """
+    occ = (
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(_line_occ_batch, batch_format="pyarrow")
+    )
+    firsts = occ.groupby("line_md5").aggregate(Min("pos"))
+    joined = occ.join(
+        firsts.materialize(), "inner", num_partitions, on=("line_md5",)
+    )
+
+    def to_removal(batch: pa.Table) -> pa.Table:
+        pos = batch.column("pos").to_numpy()
+        keep = pos != batch.column("min(pos)").to_numpy()
+        pos = pos[keep]
+        return pa.table(
+            {"doc_id": pa.array(pos // _LINE_IDX_STRIDE, type=pa.int64()),
+             "idx": pa.array(pos % _LINE_IDX_STRIDE, type=pa.int64())}
+        )
+
+    removals = joined.map_batches(to_removal, batch_format="pyarrow")
+
+    def collect(group: pa.Table) -> pa.Table:
+        # Arrow hash joins don't carry list payload columns; a
+        # comma-joined idx string does the same job
+        idxs = sorted(group.column("idx").to_pylist())
+        return pa.table(
+            {"doc_id": pa.array([group.column("doc_id")[0].as_py()],
+                                type=pa.int64()),
+             "removed": pa.array([",".join(map(str, idxs))],
+                                 type=pa.string())}
+        )
+
+    removal_lists = (
+        removals.groupby("doc_id")
+        .map_groups(collect, batch_format="pyarrow")
+        .repartition(num_partitions)  # unify block schemas for the join
+        .materialize()
+    )
+    corpus = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    if removal_lists.count() == 0:
+        # no duplicate lines anywhere: skip the join (an all-empty
+        # right side has no schema for the join to bind against)
+        with_removed = corpus.map_batches(
+            lambda b: b.append_column(
+                "removed", pa.nulls(b.num_rows, type=pa.string())),
+            batch_format="pyarrow",
+        )
+    else:
+        with_removed = corpus.join(
+            removal_lists, "left_outer", num_partitions, on=("doc_id",),
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids, n_in, n_kept, md5s = [], [], [], []
+        for doc_id, text, removed in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("removed").to_pylist(),
+        ):
+            lines = text.split("\n")
+            drop = (set(int(s) for s in removed.split(","))
+                    if removed else set())
+            kept = [l for i, l in enumerate(lines, start=1)
+                    if i not in drop]
+            ids.append(doc_id)
+            n_in.append(len(lines))
+            n_kept.append(len(kept))
+            md5s.append(hashlib.md5("\n".join(kept).encode("utf-8"))
+                        .hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_lines_in": pa.array(n_in, type=pa.int64()),
+             "n_lines_kept": pa.array(n_kept, type=pa.int64()),
+             "cleaned_md5": pa.array(md5s, type=pa.string())}
+        )
+
+    return with_removed.map_batches(finish, batch_format="pyarrow")

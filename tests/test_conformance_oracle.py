@@ -58,6 +58,7 @@ SUBSET = [
     "spell_suggest",
     "more_like_this",
     "winnow_fingerprint",
+    "global_line_dedup",
 ]
 
 

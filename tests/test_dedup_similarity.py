@@ -272,3 +272,60 @@ def test_apply_near_dedup_no_duplicates_returns_full_corpus(
     out = sorted(r["doc_id"] for r in
                  apply_near_dedup(path, n=3, threshold=0.5).take_all())
     assert out == [1, 2]
+
+
+def test_global_line_dedup_removes_cross_doc_duplicates(
+    ray_session, tmp_path
+):
+    """Cross-doc line dedup on a crafted multi-line corpus with real
+    duplicate lines: values must match the SQL oracle, first occurrence
+    in (doc_id, idx) order survives, blank lines never participate."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        global_line_dedup,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha one\n\nshared line\nunique a",
+            "shared line\nbeta two\n   \nshared line",
+            "unique c\nshared line",
+            "",
+        ]),
+    })
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+
+    got = (
+        global_line_dedup(path, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    ref = (
+        con.execute(cf.ORACLE_SQL["global_line_dedup"]).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  ref[sorted(ref.columns)])
+
+    # doc 0 keeps everything (all first occurrences); doc 1 loses BOTH
+    # copies of "shared line" but keeps the blank-ish line; doc 2
+    # loses its copy too
+    by_doc = {r.doc_id: r for r in got.itertuples()}
+    assert by_doc[0].n_lines_kept == 4
+    assert by_doc[1].n_lines_kept == 2
+    assert by_doc[1].cleaned_md5 == hashlib.md5(
+        "beta two\n   ".encode()).hexdigest()
+    assert by_doc[2].n_lines_kept == 1
+    assert by_doc[3].n_lines_kept == 1  # the single empty line
