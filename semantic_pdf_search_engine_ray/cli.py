@@ -406,6 +406,21 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8787)
     sv.add_argument("-k", type=int, default=5)
 
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone doc ids in a committed index (deleted docs stop "
+             "ranking immediately; stats freeze until purge)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", required=True,
+                    help="comma-separated doc ids to delete")
+
+    pg = sub.add_parser(
+        "purge", parents=[common],
+        help="rebuild an index minus its tombstoned docs into --output "
+             "(stats recomputed; bit-identical to a fresh filtered build)")
+    pg.add_argument("--index", required=True)
+    pg.add_argument("--output", required=True)
+
     rp = sub.add_parser(
         "repl",
         help="interactive search loop over a committed index (the analog "
@@ -439,6 +454,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"rank": rank, "doc_id": doc_id, "score": score}
                 ), flush=True)
+        return 0
+
+    if args.cmd == "delete":
+        # metadata-only append; no Ray session needed
+        from semantic_pdf_search_engine_ray.pipelines.delete import (
+            delete_documents,
+            load_tombstones,
+        )
+
+        n = delete_documents(
+            args.index, [int(s) for s in args.ids.split(",") if s]
+        )
+        print(json.dumps(
+            {"deleted": n, "total_tombstones": len(load_tombstones(args.index))}
+        ))
         return 0
 
     if args.cmd == "query":
@@ -515,6 +545,14 @@ def main(argv: list[str] | None = None) -> int:
             manifest = compact_shards(args.index, args.target_shards)
             print(json.dumps({k: manifest[k] for k in
                               ("n_shards", "n_docs", "avgdl")}))
+        elif args.cmd == "purge":
+            from semantic_pdf_search_engine_ray.pipelines.delete import (
+                purge_deleted,
+            )
+
+            manifest = purge_deleted(args.index, args.output)
+            print(json.dumps({k: manifest[k] for k in
+                              ("build_id", "n_docs", "avgdl")}))
         elif args.cmd == "query-batch":
             import ray.data as rd
 

@@ -426,6 +426,47 @@ def q_bm25_lang_filtered(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+TOMBSTONE_MOD = 7
+
+
+def _tombstoned_index(sf_dir: str) -> str:
+    """Cached copy of the sf index with doc_id % TOMBSTONE_MOD == 0
+    tombstoned via pipelines.delete (stats frozen, docs masked)."""
+    import shutil
+
+    from semantic_pdf_search_engine_ray.pipelines.delete import (
+        delete_documents,
+    )
+
+    base = ensure_index(sf_dir)
+    tomb_dir = f"/tmp/spse_ray_tomb_{_sf_cache_key(sf_dir)}"
+    if not (mf.is_ready(tomb_dir)
+            and os.path.isdir(os.path.join(tomb_dir, "tombstones"))):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        shutil.copytree(base, tomb_dir)
+        ids = pq.read_table(os.path.join(tomb_dir, "docs"),
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+        delete_documents(tomb_dir,
+                         [d for d in ids if d % TOMBSTONE_MOD == 0])
+    return tomb_dir
+
+
+def q_bm25_tombstoned(sf_dir: str) -> pa.Table:
+    """BM25 top-k over an index with tombstoned docs (pipelines.delete):
+    deleted docs never rank, stats stay frozen until purge — surviving
+    docs score exactly as in bm25_topk (the Lucene deleted-docs
+    contract, mirrored by the SQL's full-corpus stats + ranking
+    exclusion)."""
+    tomb_dir = _tombstoned_index(sf_dir)
+    queries = derive_query_table(ensure_index(sf_dir))
+    res = _collect(run_queries(tomb_dir, rd.from_arrow(queries), CFG,
+                               k=TOP_K, method="auto"))
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def q_bm25_sharded(sf_dir: str) -> pa.Table:
     """BM25 top-k through the doc-range-sharded layout (4 shards) via the
     shard-OWNING actor tier: 2 owner actors each load only their
@@ -1140,6 +1181,37 @@ SELECT query_id, rank, doc_id, score_r FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
          round(score, 6) AS score_r
   FROM scores
+) WHERE rank <= {TOP_K}
+"""
+
+# Tombstoned search: stats (N, avgdl, df) over the FULL corpus, the
+# deleted subset excluded only at ranking — scores of survivors are
+# identical to _SQL_BM25_TOPK's.
+_SQL_BM25_TOMBSTONED = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+  WHERE doc_id % {TOMBSTONE_MOD} != 0
 ) WHERE rank <= {TOP_K}
 """
 
@@ -2280,6 +2352,7 @@ QUERIES = {
     "spell_suggest": q_spell_suggest,
     "more_like_this": q_more_like_this,
     "bm25_lang_filtered": q_bm25_lang_filtered,
+    "bm25_tombstoned": q_bm25_tombstoned,
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
     "phrase_topk": q_phrase_topk,
@@ -2349,6 +2422,7 @@ ORACLE_SQL = {
     "spell_suggest": _SQL_SPELL_SUGGEST,
     "more_like_this": _SQL_MORE_LIKE_THIS,
     "bm25_lang_filtered": _SQL_BM25_LANG,
+    "bm25_tombstoned": _SQL_BM25_TOMBSTONED,
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "bm25_prf_rerank": _SQL_BM25_PRF,
     "phrase_topk": _SQL_PHRASE_TOPK,

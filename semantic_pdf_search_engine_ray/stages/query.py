@@ -40,6 +40,28 @@ from semantic_pdf_search_engine_ray.stages.encode import compute_tfn
 from semantic_pdf_search_engine_ray.state import manifest as mf
 
 
+def _load_tombstone_mask(index_dir: str, size: int) -> np.ndarray | None:
+    """Bool mask over the doc-id space from ``<index>/tombstones/*.parquet``
+    (written by pipelines.delete.delete_documents); None when the index
+    has no deletions — the zero-cost common case."""
+    tdir = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    files = sorted(
+        os.path.join(tdir, f) for f in os.listdir(tdir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    ids = np.concatenate([
+        pq.read_table(f, columns=["doc_id"]).column("doc_id").to_numpy()
+        for f in files
+    ])
+    mask = np.zeros(size, dtype=bool)
+    mask[ids[(ids >= 0) & (ids < size)]] = True
+    return mask
+
+
 class IndexReader:
     """Loads a committed index directory; answers top-k BM25 queries."""
 
@@ -136,6 +158,19 @@ class IndexReader:
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._tfn_cache: dict[str, np.ndarray] = {}
 
+        # tombstones (pipelines.delete): deleted docs never RANK, but
+        # corpus stats (N, avgdl, df) stay frozen until purge_deleted
+        # rebuilds — the Lucene deleted-docs contract, so scores of
+        # surviving docs are bit-identical before and after a delete
+        self.deleted = _load_tombstone_mask(index_dir, size)
+
+    def _live(self, allowed: np.ndarray | None) -> np.ndarray | None:
+        """AND the caller's doc-subset mask with the not-deleted mask."""
+        if self.deleted is None:
+            return allowed
+        live = ~self.deleted
+        return live if allowed is None else (allowed & live)
+
     # number of fetched row groups kept resident; decoded postings are
     # cached per term above, so this only needs to absorb fetch locality
     _RG_CACHE_MAX = 64
@@ -207,6 +242,7 @@ class IndexReader:
         the generalization of the reference's filename filter AND-ed into
         the search (J2, `qdrant.rs:84-93`); docs outside the mask never
         enter the heap."""
+        allowed = self._live(allowed)
         scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
         for term in query_terms(query):
@@ -290,6 +326,8 @@ class IndexReader:
             return []
         if 0 <= src_doc_id < len(scores):
             scores[src_doc_id] = 0.0  # never recommend the source
+        if self.deleted is not None:
+            scores[self.deleted] = 0.0
         return self._topk_from_scores(scores, k)
 
     # deletion distance the lazily-built SymSpell index covers; queries
@@ -355,6 +393,7 @@ class IndexReader:
         term lookup cannot express (engine addition). ``allowed`` is the
         same optional doc-subset mask as ``top_k_exhaustive`` — docs
         outside it never rank, so wildcard and doc-filters compose."""
+        allowed = self._live(allowed)
         scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
         for term in self.expand_prefix(prefix, max_expand):
@@ -392,6 +431,10 @@ class IndexReader:
         common = postings_by_len[0][1]
         for _, ids, _ in postings_by_len[1:]:
             common = common[np.isin(common, ids, assume_unique=True)]
+            if common.size == 0:
+                return []
+        if self.deleted is not None:
+            common = common[~self.deleted[common]]
             if common.size == 0:
                 return []
         scores = np.zeros(common.size, dtype=np.float64)
@@ -543,7 +586,10 @@ class IndexReader:
                         if c["pi"] >= len(c["ids"]):
                             c["bi"] += 1
                             c["ids"] = None
-                offer(pivot_doc, score)
+                # tombstoned docs are evaluated (cursors must advance)
+                # but never enter the heap; upper bounds stay valid
+                if self.deleted is None or not self.deleted[pivot_doc]:
+                    offer(pivot_doc, score)
             else:
                 # advance the leading cursors up to the pivot
                 for c in live[:pivot_idx]:

@@ -59,6 +59,7 @@ SUBSET = [
     "more_like_this",
     "winnow_fingerprint",
     "global_line_dedup",
+    "bm25_tombstoned",
 ]
 
 
