@@ -227,6 +227,10 @@ def q_unigram_logprob(sf_dir: str) -> rd.Dataset:
                               min_count=UNIGRAM_MIN_COUNT)
 
 
+def q_bigram_logprob(sf_dir: str) -> rd.Dataset:
+    return ts.bigram_logprob(read_docs(sf_dir))
+
+
 def q_term_df(sf_dir: str) -> pa.Table:
     index_dir = ensure_index(sf_dir)
     d = pq.read_table(os.path.join(index_dir, "dictionary"),
@@ -1546,6 +1550,48 @@ SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
+# Interpolated (Jelinek-Mercer) bigram LM: lam * c(v,w)/c(v.) +
+# (1-lam) * p_uni(w); bigram counts pruned at min_count (a pruned
+# bigram contributes 0 to the first term), context totals exact over
+# unpruned transitions, unigram side identical to _SQL_UNIGRAM_LL.
+_SQL_BIGRAM_LL = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(ts) AS w,
+         unnest(generate_series(1, len(ts))) AS i
+  FROM tk
+),
+bg AS (
+  SELECT a.doc_id, a.i, a.w AS v, b.w AS w
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+bgc AS (SELECT v, w, count(*)::BIGINT AS c FROM bg GROUP BY v, w
+        HAVING count(*) >= {ts.BIGRAM_MIN_COUNT}),
+ctx AS (SELECT v, count(*)::BIGINT AS cv FROM bg GROUP BY v),
+cf AS (SELECT w AS term, count(*)::BIGINT AS cf FROM pos GROUP BY w
+       HAVING count(*) >= {ts.BIGRAM_MIN_COUNT}),
+tot AS (SELECT count(*) AS total FROM pos),
+per AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(ln({ts.BIGRAM_LAMBDA} * coalesce(bgc.c, 0) * 1.0 / ctx.cv
+                + {1.0 - ts.BIGRAM_LAMBDA} *
+                  coalesce(cf.cf, {UNIGRAM_OOV_CF}) * 1.0 / tot.total))
+           AS ll
+  FROM bg g
+  LEFT JOIN bgc ON bgc.v = g.v AND bgc.w = g.w
+  JOIN ctx ON ctx.v = g.v
+  LEFT JOIN cf ON cf.term = g.w
+  CROSS JOIN tot
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(p.ll, 0.0), 6) AS loglik
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
 _SQL_SESSIONIZE = """
 WITH ev AS (
   SELECT user_id,
@@ -2344,6 +2390,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2414,6 +2461,7 @@ ORACLE_SQL = {
     "fingerprint": _SQL_FINGERPRINT,
     "winnow_fingerprint": _SQL_WINNOW,
     "unigram_logprob": _SQL_UNIGRAM_LL,
+    "bigram_logprob": _SQL_BIGRAM_LL,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

@@ -285,6 +285,142 @@ def unigram_logprob(docs: rd.Dataset, min_count: int = 2) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+# interpolation weight on the bigram term (Jelinek-Mercer); pinned in
+# the SQL oracle's literals
+BIGRAM_LAMBDA = 0.75
+BIGRAM_MIN_COUNT = 2
+
+
+def bigram_logprob(
+    docs: rd.Dataset,
+    min_count: int = BIGRAM_MIN_COUNT,
+    lam: float = BIGRAM_LAMBDA,
+) -> rd.Dataset:
+    """Per-doc interpolated bigram-LM score (Jelinek-Mercer):
+    ll = sum over transitions (v, w) of
+    ln(lam * c(v,w)/c(v.) + (1-lam) * p_uni(w)) — the next-order
+    corpus-fit signal above ``unigram_logprob`` (detects scrambled /
+    template text a unigram model scores as fluent).
+
+    Memory bounds (the 100 TB story): the broadcast model keeps ONLY
+    bigrams with c >= ``min_count`` (<= total_tokens/min_count entries),
+    context counts ONLY for contexts of surviving bigrams (same bound),
+    and the min-count-pruned unigram table with the UNIGRAM_OOV_CF
+    floor — a pruned/unseen bigram contributes nothing to the first
+    term (c = 0), so its context count is never consulted. All counts
+    come from partial-aggregating groupbys; nothing token-sized is ever
+    collected.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_transitions(batch: pa.Table) -> pa.Table:
+        bgs: list[str] = []
+        for text in batch.column("text").to_pylist():
+            toks = tokenize(text)
+            bgs.extend(f"{toks[i]} {toks[i + 1]}"
+                       for i in range(len(toks) - 1))
+        return pa.table({"bigram": pa.array(bgs, type=pa.string()),
+                         "n": pa.array(np.ones(len(bgs), np.int64))})
+
+    def to_tokens(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column("text"))
+        cleaned = pc.replace_substring_regex(lower, "[^a-z0-9]+", " ")
+        flat = pc.list_flatten(pc.split_pattern(cleaned, " "))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"term": flat,
+                         "n": pa.array(np.ones(len(flat), np.int64))})
+
+    def _collect(ds, key):
+        parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+        return pa.concat_tables(parts) if parts else pa.table(
+            {key: pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64())}
+        )
+
+    trans = docs.map_batches(to_transitions, batch_format="pyarrow")
+    # full bigram counts stay a (materialized, spillable) Dataset; the
+    # driver only ever collects the PRUNED subset
+    bgds = (trans.groupby("bigram")
+            .aggregate(Sum("n", alias_name="c")).materialize())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("c"), min_count))
+
+    bg_tbl = _collect(bgds.map_batches(prune, batch_format="pyarrow"),
+                      "bigram")
+    bigrams = dict(zip(
+        (str(b) for b in bg_tbl.column("bigram").to_pylist()),
+        bg_tbl.column("c").to_numpy(),
+    ))
+    # context totals c(v.) — exact (summed over UNpruned bigrams),
+    # retained only for contexts of surviving bigrams: a pruned/unseen
+    # bigram scores its first term 0, so other contexts are never read
+    need_ctx = frozenset(b.split(" ", 1)[0] for b in bigrams)
+    need_ref = ray.put(need_ctx)
+
+    def to_ctx(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        vs = [b.split(" ", 1)[0]
+              for b in batch.column("bigram").to_pylist()]
+        mask = pa.array([v in need for v in vs])
+        return pa.table(
+            {"v": pa.array(vs, type=pa.string()),
+             "c": batch.column("c")}
+        ).filter(mask)
+
+    ctx_tbl = _collect(
+        bgds.map_batches(to_ctx, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("c", alias_name="c")),
+        "v",
+    )
+    ctx_all = dict(zip(ctx_tbl.column("v").to_pylist(),
+                       ctx_tbl.column("c").to_numpy()))
+
+    cf_tbl = _collect(
+        docs.map_batches(to_tokens, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="c")),
+        "term",
+    )
+    cf_all = cf_tbl.column("c").to_numpy()
+    total = int(cf_all.sum()) if len(cf_all) else 0
+    ukeep = cf_all >= min_count
+    cf = dict(zip(
+        np.asarray(cf_tbl.column("term").to_pylist(), dtype=object)[ukeep],
+        cf_all[ukeep],
+    ))
+    model_ref = ray.put((bigrams, ctx_all, cf, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        big, ctx, uni, tot = ray.get(model_ref)
+        ids, lls, ns = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = tokenize(text)
+            n_bg = max(len(toks) - 1, 0)
+            ll = 0.0
+            if n_bg:
+                ps = np.empty(n_bg, dtype=np.float64)
+                for i in range(n_bg):
+                    v, w = toks[i], toks[i + 1]
+                    c = big.get(f"{v} {w}")
+                    first = lam * c / ctx[v] if c else 0.0
+                    ps[i] = first + (1.0 - lam) * (
+                        uni.get(w, UNIGRAM_OOV_CF) / tot)
+                ll = float(np.log(ps).sum())
+            ids.append(doc_id)
+            lls.append(round(ll, 6))
+            ns.append(n_bg)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "n_bigrams": pa.array(ns, type=pa.int64()),
+             "loglik": pa.array(lls, type=pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def regex_features_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_emails, n_urls, n_long_digit_runs, has_pii) — the
     PII-surface counts a filtering/masking stage keys on; fully

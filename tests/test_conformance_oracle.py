@@ -60,6 +60,7 @@ SUBSET = [
     "winnow_fingerprint",
     "global_line_dedup",
     "bm25_tombstoned",
+    "bigram_logprob",
 ]
 
 
