@@ -231,6 +231,10 @@ def q_bigram_logprob(sf_dir: str) -> rd.Dataset:
     return ts.bigram_logprob(read_docs(sf_dir))
 
 
+def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
+    return ts.hashed_tfidf(read_docs(sf_dir))
+
+
 def q_term_df(sf_dir: str) -> pa.Table:
     index_dir = ensure_index(sf_dir)
     d = pq.read_table(os.path.join(index_dir, "dictionary"),
@@ -1702,6 +1706,30 @@ SELECT doc_id, rank::BIGINT AS rank, term, tf, df,
 FROM ranked WHERE rank <= 3
 """
 
+# Hashing-trick tf-idf featurizer: bucket = md5-low64(term) % dim,
+# value = L2-normalized sum of tf * ln(N/df) per bucket; zero buckets
+# omitted (weights are >= 0, so a zero sum is exactly 0.0 both sides).
+_SQL_HASHED_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+b AS (
+  SELECT tf.doc_id,
+         (md5_number_lower(tf.term) % {ts.HASHED_TFIDF_DIM})::BIGINT AS bucket,
+         sum(tf.tf * ln(n.n_docs * 1.0 / df.df)) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id, bucket
+),
+nz AS (SELECT doc_id, bucket, w FROM b WHERE w != 0)
+SELECT doc_id, bucket,
+       round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS value
+FROM nz
+"""
+
 _SQL_COLLOCATIONS = f"""
 WITH toks AS (
   SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
@@ -2391,6 +2419,7 @@ QUERIES = {
     "winnow_fingerprint": q_winnow,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "hashed_tfidf": q_hashed_tfidf,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2462,6 +2491,7 @@ ORACLE_SQL = {
     "winnow_fingerprint": _SQL_WINNOW,
     "unigram_logprob": _SQL_UNIGRAM_LL,
     "bigram_logprob": _SQL_BIGRAM_LL,
+    "hashed_tfidf": _SQL_HASHED_TFIDF,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

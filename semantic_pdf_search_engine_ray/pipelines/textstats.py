@@ -514,6 +514,66 @@ def tfidf_top_terms(
     )
 
 
+HASHED_TFIDF_DIM = 64
+
+
+def hashed_tfidf(
+    docs: rd.Dataset, dim: int = HASHED_TFIDF_DIM, num_partitions: int = 8
+) -> rd.Dataset:
+    """Hashing-trick tf-idf document featurizer: every doc becomes an
+    L2-normalized ``dim``-dimensional sparse vector,
+    bucket(term) = md5-low64(term) % dim, value = sum of tf * ln(N/df)
+    over the bucket's terms — the classic no-vocabulary featurizer
+    (Weinberger et al., ICML'09) that turns raw text into an embedding
+    column the ANN / SemDeDup / cluster operators can consume.
+
+    Output is LONG form (doc_id, bucket, value) with zero buckets
+    omitted — schema-stable at any ``dim``, joins cheaply, and the SQL
+    oracle mirrors it row for row (md5_number_lower % dim, window L2).
+    Same distribution shape as tfidf_top_terms: map-side (doc, term,
+    tf) rows, vocab-sized df table JOINED not broadcast, per-doc
+    normalize in one groupby."""
+    from ray.data.aggregate import Count
+
+    from semantic_pdf_search_engine_ray.functions.shingle import md5_hash64
+
+    n_docs = docs.count()
+    term_rows = docs.map_batches(
+        _doc_term_tf, batch_format="pyarrow"
+    ).materialize()
+    df_tbl = term_rows.groupby("term").aggregate(Count(alias_name="df"))
+    joined = term_rows.join(
+        df_tbl, join_type="inner", num_partitions=num_partitions,
+        on=("term",),
+    )
+
+    def vec_group(group: pa.Table) -> pa.Table:
+        tf = group.column("tf").to_numpy().astype(np.float64)
+        df = group.column("df").to_numpy().astype(np.float64)
+        w = tf * np.log(n_docs / df)
+        buckets = np.fromiter(
+            (md5_hash64(t) % dim for t in group.column("term").to_pylist()),
+            dtype=np.int64, count=group.num_rows,
+        )
+        acc = np.zeros(dim, dtype=np.float64)
+        np.add.at(acc, buckets, w)
+        norm = float(np.sqrt((acc * acc).sum()))
+        nz = np.flatnonzero(acc)
+        vals = acc[nz] / norm if norm > 0.0 else acc[nz]
+        return pa.table(
+            {"doc_id": pa.array(
+                np.full(len(nz), group.column("doc_id")[0].as_py()),
+                type=pa.int64()),
+             "bucket": pa.array(nz, type=pa.int64()),
+             "value": pa.array([_r6(float(v)) for v in vals],
+                               type=pa.float64())}
+        )
+
+    return joined.groupby("doc_id").map_groups(
+        vec_group, batch_format="pyarrow"
+    )
+
+
 def _bigram_rows(batch: pa.Table) -> pa.Table:
     ids: list[str] = []
     for text in batch.column("text").to_pylist():

@@ -61,6 +61,7 @@ SUBSET = [
     "global_line_dedup",
     "bm25_tombstoned",
     "bigram_logprob",
+    "hashed_tfidf",
 ]
 
 
