@@ -235,6 +235,21 @@ def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
     return ts.hashed_tfidf(read_docs(sf_dir))
 
 
+SOURCE_CAP = 10
+
+
+def q_source_cap(sf_dir: str) -> rd.Dataset:
+    """Per-source cap sampling: at most SOURCE_CAP docs per source by
+    deterministic hash rank (the per-domain mix bound)."""
+    from semantic_pdf_search_engine_ray.pipelines.sampling import (
+        capped_per_group_sample,
+    )
+
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["doc_id", "source"])
+    return capped_per_group_sample(docs, cap=SOURCE_CAP)
+
+
 def q_term_df(sf_dir: str) -> pa.Table:
     index_dir = ensure_index(sf_dir)
     d = pq.read_table(os.path.join(index_dir, "dictionary"),
@@ -1706,6 +1721,16 @@ SELECT doc_id, rank::BIGINT AS rank, term, tf, df,
 FROM ranked WHERE rank <= 3
 """
 
+_SQL_SOURCE_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5_number_lower(doc_id::VARCHAR),
+                                     doc_id) AS r
+  FROM documents
+) WHERE r <= {cap}
+""".format(cap=SOURCE_CAP)
+
 # Hashing-trick tf-idf featurizer: bucket = md5-low64(term) % dim,
 # value = L2-normalized sum of tf * ln(N/df) per bucket; zero buckets
 # omitted (weights are >= 0, so a zero sum is exactly 0.0 both sides).
@@ -2420,6 +2445,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "hashed_tfidf": q_hashed_tfidf,
+    "source_cap_sample": q_source_cap,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2492,6 +2518,7 @@ ORACLE_SQL = {
     "unigram_logprob": _SQL_UNIGRAM_LL,
     "bigram_logprob": _SQL_BIGRAM_LL,
     "hashed_tfidf": _SQL_HASHED_TFIDF,
+    "source_cap_sample": _SQL_SOURCE_CAP,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

@@ -74,3 +74,61 @@ def stratified_sample(
         return batch.filter(pa.array(mask))
 
     return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def capped_per_group_sample(
+    docs: rd.Dataset,
+    cap: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> rd.Dataset:
+    """Keep at most ``cap`` rows per group, chosen by deterministic
+    hash rank — the per-domain cap every web-corpus recipe applies
+    (bound any one source's share of the training mix) with the same
+    rerun/parallelism invariance as the samplers above.
+
+    Two-phase, skew-proof: each batch keeps its LOCAL best ``cap`` per
+    group (selection rank is a pure row function, so local pruning is
+    lossless), then one tiny groupby over <= cap x |groups| x n_blocks
+    survivors picks the global winners. The corpus itself never
+    shuffles on the (hot, low-cardinality) group key.
+
+    Selection rank: (md5_low64(salt + key) ASC, key ASC) — mirrored in
+    SQL by row_number() OVER (PARTITION BY group ORDER BY
+    md5_number_lower(...), key).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        h = np.fromiter((md5_hash64(f"{salt}{k}") for k in keys),
+                        dtype=np.uint64, count=len(keys))
+        keep_idx: list[int] = []
+        per: dict[str, list[int]] = {}
+        for i, g in enumerate(groups):
+            per.setdefault(g, []).append(i)
+        for g, idxs in per.items():
+            idxs.sort(key=lambda i: (h[i], keys[i]))
+            keep_idx.extend(idxs[:cap])
+        keep_idx.sort()
+        out = batch.take(pa.array(keep_idx, type=pa.int64()))
+        return out.append_column(
+            "_h", pa.array(h[keep_idx].astype(np.uint64), type=pa.uint64())
+        )
+
+    def final_prune(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_pylist()
+        h = group.column("_h").to_numpy()
+        order = sorted(range(len(keys)), key=lambda i: (h[i], keys[i]))
+        return group.take(
+            pa.array(sorted(order[:cap]), type=pa.int64())
+        ).drop_columns(["_h"])
+
+    return (
+        docs.map_batches(local_prune, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_prune, batch_format="pyarrow")
+    )

@@ -62,6 +62,7 @@ SUBSET = [
     "bm25_tombstoned",
     "bigram_logprob",
     "hashed_tfidf",
+    "source_cap_sample",
 ]
 
 
