@@ -195,7 +195,10 @@ def run_bench() -> dict:
                  # round-2 continuation families (keys ADDED, none
                  # renamed, so per-stage cross-round comparison holds)
                  "heavy_hitter_terms", "token_pack", "semdedup_pairs",
-                 "quality_filter", "decontaminate"):
+                 "quality_filter", "decontaminate",
+                 # round-3 additions (again: keys added, none renamed)
+                 "global_line_dedup", "bigram_logprob", "hashed_tfidf",
+                 "source_cap_sample", "bm25_tombstoned"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -1080,42 +1080,67 @@ def global_line_dedup(
     occ = (
         rd.read_parquet(docs_path, columns=["doc_id", "text"])
         .map_batches(_line_occ_batch, batch_format="pyarrow")
+        .materialize()  # consumed by the groupby AND the join probe
     )
-    firsts = occ.groupby("line_md5").aggregate(Min("pos"))
-    joined = occ.join(
-        firsts.materialize(), "inner", num_partitions, on=("line_md5",)
+    firsts = occ.groupby("line_md5").aggregate(
+        Min("pos"), Count(alias_name="cnt")
     )
 
-    def to_removal(batch: pa.Table) -> pa.Table:
-        pos = batch.column("pos").to_numpy()
-        keep = pos != batch.column("min(pos)").to_numpy()
-        pos = pos[keep]
-        return pa.table(
-            {"doc_id": pa.array(pos // _LINE_IDX_STRIDE, type=pa.int64()),
-             "idx": pa.array(pos % _LINE_IDX_STRIDE, type=pa.int64())}
-        )
+    def only_dup_hashes(batch: pa.Table) -> pa.Table:
+        # hashes occurring once produce no removals — keep only the
+        # duplicated ones, so the join's build side is sized by the
+        # DUPLICATE line count, not the corpus line count
+        import pyarrow.compute as pc
 
-    removals = joined.map_batches(to_removal, batch_format="pyarrow")
+        keep = batch.filter(pc.greater(batch.column("cnt"), 1))
+        return keep.drop_columns(["cnt"])
 
-    def collect(group: pa.Table) -> pa.Table:
-        # Arrow hash joins don't carry list payload columns; a
-        # comma-joined idx string does the same job
-        idxs = sorted(group.column("idx").to_pylist())
-        return pa.table(
-            {"doc_id": pa.array([group.column("doc_id")[0].as_py()],
-                                type=pa.int64()),
-             "removed": pa.array([",".join(map(str, idxs))],
-                                 type=pa.string())}
-        )
-
-    removal_lists = (
-        removals.groupby("doc_id")
-        .map_groups(collect, batch_format="pyarrow")
-        .repartition(num_partitions)  # unify block schemas for the join
+    dup_firsts = (
+        firsts.map_batches(only_dup_hashes, batch_format="pyarrow")
+        # unify block schemas: downstream joins reject the schema-less
+        # empty blocks a filtered groupby can emit
+        .repartition(num_partitions)
         .materialize()
     )
     corpus = rd.read_parquet(docs_path, columns=["doc_id", "text"])
-    if removal_lists.count() == 0:
+    if dup_firsts.count() == 0:
+        removal_lists = None
+    else:
+        joined = occ.join(
+            dup_firsts, "inner", num_partitions, on=("line_md5",)
+        )
+
+        def to_removal(batch: pa.Table) -> pa.Table:
+            pos = batch.column("pos").to_numpy()
+            keep = pos != batch.column("min(pos)").to_numpy()
+            pos = pos[keep]
+            return pa.table(
+                {"doc_id": pa.array(pos // _LINE_IDX_STRIDE,
+                                    type=pa.int64()),
+                 "idx": pa.array(pos % _LINE_IDX_STRIDE,
+                                 type=pa.int64())}
+            )
+
+        removals = joined.map_batches(to_removal, batch_format="pyarrow")
+
+        def collect(group: pa.Table) -> pa.Table:
+            # Arrow hash joins don't carry list payload columns; a
+            # comma-joined idx string does the same job
+            idxs = sorted(group.column("idx").to_pylist())
+            return pa.table(
+                {"doc_id": pa.array([group.column("doc_id")[0].as_py()],
+                                    type=pa.int64()),
+                 "removed": pa.array([",".join(map(str, idxs))],
+                                     type=pa.string())}
+            )
+
+        removal_lists = (
+            removals.groupby("doc_id")
+            .map_groups(collect, batch_format="pyarrow")
+            .repartition(num_partitions)  # unify block schemas (join)
+            .materialize()
+        )
+    if removal_lists is None or removal_lists.count() == 0:
         # no duplicate lines anywhere: skip the join (an all-empty
         # right side has no schema for the join to bind against)
         with_removed = corpus.map_batches(
