@@ -963,6 +963,18 @@ def q_segment_revenue(sf_dir: str) -> rd.Dataset:
     return rel.segment_revenue(orders, customer)
 
 
+def q_interval_join(sf_dir: str) -> rd.Dataset:
+    """INTERVAL join: every purchase x every same-user click within the
+    trailing hour (the one-to-many range-join operator)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    return rel.interval_join_clicks(events,
+                                    window_s=INTERVAL_JOIN_WINDOW_S)
+
+
 def q_asof_clicks(sf_dir: str) -> rd.Dataset:
     """AS-OF join: purchases attributed to the latest prior click."""
     from semantic_pdf_search_engine_ray.pipelines import relational as rel
@@ -1854,6 +1866,24 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
+INTERVAL_JOIN_WINDOW_S = 86400
+
+_SQL_INTERVAL_JOIN = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         (epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000)
+           // 1000000 AS e
+  FROM events
+),
+p AS (SELECT event_id, user_id, e FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, e FROM ev WHERE event_type = 'click')
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       (p.e - c.e)::BIGINT AS lag_s
+FROM p JOIN c ON c.user_id = p.user_id
+              AND c.e >= p.e - {INTERVAL_JOIN_WINDOW_S}
+              AND c.e <= p.e
+"""
+
 _SQL_ASOF_CLICKS = """
 WITH ev AS (
   SELECT event_id, user_id, event_type,
@@ -2488,6 +2518,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "asof_clicks": q_asof_clicks,
+    "interval_join_clicks": q_interval_join,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -2565,6 +2596,7 @@ ORACLE_SQL = {
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "segment_revenue": _SQL_SEGMENT_REVENUE,
     "asof_clicks": _SQL_ASOF_CLICKS,
+    "interval_join_clicks": _SQL_INTERVAL_JOIN,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     "image_decode": _SQL_IMAGE_DECODE,

@@ -200,3 +200,61 @@ def asof_click_attribution(events: rd.Dataset) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(attribute, batch_format="pyarrow")
     )
+
+
+def interval_join_clicks(
+    events: rd.Dataset, window_s: int = 3600
+) -> rd.Dataset:
+    """INTERVAL (range) join expressed Ray-Data-first: every
+    ``purchase`` event pairs with EVERY same-user ``click`` in the
+    trailing window [purchase_ts - window_s, purchase_ts] — the
+    one-to-many generalization of the as-of join above (attribution
+    windows, fraud co-occurrence, session stitching).
+
+    Same partitioning assumption and shape as asof_click_attribution:
+    ONE user_id hash shuffle, then per-group sorted searchsorted gives
+    each purchase its click range in O(log n) — no per-pair scan. The
+    fan-out is the true join cardinality (pairs within the window),
+    which no engine can avoid emitting.
+
+    Output: (user_id, purchase_id, click_id, lag_s) with lag_s =
+    purchase_epoch - click_epoch in [0, window_s], epochs floored to
+    int64 seconds. Ties and ordering are value-determined (row set
+    compared, not row order)."""
+
+    def pair(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        epoch = _pc.cast(
+            _pc.floor_temporal(group.column("ts"), unit="second"),
+            pa.timestamp("s"),
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        etype = group.column("event_type").to_pylist()
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id")[0].as_py()
+        is_click = np.array([t == "click" for t in etype])
+        is_purchase = np.array([t == "purchase" for t in etype])
+        c_order = np.argsort(epoch[is_click], kind="stable")
+        click_e = epoch[is_click][c_order]
+        click_id = eid[is_click][c_order]
+        out_u, out_p, out_c, out_lag = [], [], [], []
+        for p_id, pe in zip(eid[is_purchase], epoch[is_purchase]):
+            lo = int(np.searchsorted(click_e, pe - window_s, side="left"))
+            hi = int(np.searchsorted(click_e, pe, side="right"))
+            for j in range(lo, hi):
+                out_u.append(uid)
+                out_p.append(int(p_id))
+                out_c.append(int(click_id[j]))
+                out_lag.append(int(pe - click_e[j]))
+        return pa.table(
+            {"user_id": pa.array(out_u, type=pa.int64()),
+             "purchase_id": pa.array(out_p, type=pa.int64()),
+             "click_id": pa.array(out_c, type=pa.int64()),
+             "lag_s": pa.array(out_lag, type=pa.int64())}
+        )
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(pair, batch_format="pyarrow")
+    )

@@ -63,6 +63,7 @@ SUBSET = [
     "bigram_logprob",
     "hashed_tfidf",
     "source_cap_sample",
+    "interval_join_clicks",
 ]
 
 
