@@ -159,6 +159,85 @@ def pairvol_main(args: list[str]) -> None:
     ray.shutdown()
 
 
+def linesoak_main(args: list[str]) -> None:
+    """Cross-doc line dedup at scale (round 3): corpus of ``n_docs``
+    docs x 20 lines, where 30% of lines are drawn from a shared pool
+    (heavily duplicated across docs) and the rest are unique. Runs
+    global_line_dedup at two sizes; wall time must grow ~linearly and
+    driver RSS must stay flat (line text never shuffles, removal lists
+    stream through joins)."""
+    import shutil
+
+    import ray
+
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        global_line_dedup,
+    )
+
+    sizes = [int(a) for a in args] or [100_000, 300_000]
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("SIM_CPUS", 16)),
+                 include_dashboard=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    results = []
+    for n in sizes:
+        path = f"/tmp/linesoak_{n}.parquet"
+        if not os.path.exists(path):
+            rng = np.random.RandomState(11)
+            pool = [f"shared boilerplate line {i} lorem ipsum dolor"
+                    for i in range(500)]
+            docs = []
+            for d in range(n):
+                lines = []
+                for j in range(20):
+                    if rng.rand() < 0.3:
+                        lines.append(pool[rng.randint(len(pool))])
+                    else:
+                        lines.append(
+                            f"unique doc {d} line {j} token "
+                            f"{rng.randint(10**9)}")
+                docs.append("\n".join(lines))
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(docs, type=pa.string()),
+            }), path)
+        rss0 = rss_mb()
+        t0 = time.perf_counter()
+        out = global_line_dedup(path, num_partitions=16)
+        import pyarrow.compute as pc
+
+        agg = out.map_batches(
+            lambda b: pa.table({
+                "n_in": pa.array(
+                    [pc.sum(b.column("n_lines_in")).as_py() or 0]),
+                "n_kept": pa.array(
+                    [pc.sum(b.column("n_lines_kept")).as_py() or 0]),
+            }),
+            batch_format="pyarrow",
+        ).to_pandas().sum()
+        dt = time.perf_counter() - t0
+        results.append({
+            "n_docs": n,
+            "lines_in": int(agg.n_in),
+            "lines_kept": int(agg.n_kept),
+            "removed": int(agg.n_in - agg.n_kept),
+            "sec": round(dt, 2),
+            "lines_per_sec": round(agg.n_in / dt),
+            "driver_rss_mb": round(rss_mb(), 1),
+            "rss_delta_mb": round(rss_mb() - rss0, 1),
+        })
+        print(json.dumps(results[-1]), flush=True)
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        ratio = (b["sec"] / a["sec"]) / (b["n_docs"] / a["n_docs"])
+        print(json.dumps({"time_growth_vs_size_growth": round(ratio, 3),
+                          "linear_ok": ratio < 1.5}), flush=True)
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
 
@@ -166,6 +245,9 @@ def main() -> None:
 
     if sys.argv[1:2] == ["--pairvol"]:
         pairvol_main(sys.argv[2:])
+        return
+    if sys.argv[1:2] == ["--lines"]:
+        linesoak_main(sys.argv[2:])
         return
     sizes = [int(a) for a in sys.argv[1:]] or [30_000, 100_000]
     if not ray.is_initialized():
