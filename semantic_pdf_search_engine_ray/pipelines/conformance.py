@@ -474,6 +474,19 @@ def _tombstoned_index(sf_dir: str) -> str:
     return tomb_dir
 
 
+def q_facet_counts(sf_dir: str) -> rd.Dataset:
+    """Per-query facet (lang) counts over the full disjunctive match
+    set — the facets sidebar of a search tier."""
+    from semantic_pdf_search_engine_ray.pipelines.search import (
+        facet_counts,
+    )
+
+    index_dir = ensure_index(sf_dir)
+    queries = derive_query_table(index_dir)
+    return facet_counts(index_dir, rd.from_arrow(queries),
+                        facet_col="lang", cfg=CFG)
+
+
 def q_bm25_tombstoned(sf_dir: str) -> pa.Table:
     """BM25 top-k over an index with tombstoned docs (pipelines.delete):
     deleted docs never rank, stats stay frozen until purge — surviving
@@ -1217,6 +1230,28 @@ SELECT query_id, rank, doc_id, score_r FROM (
          round(score, 6) AS score_r
   FROM scores
 ) WHERE rank <= {TOP_K}
+"""
+
+# Facet counts: per query, the size of the DISJUNCTIVE match set
+# (docs containing any query term) grouped by the docs-store facet
+# column — the search-tier facets sidebar.
+_SQL_FACETS = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+matched AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id
+  FROM qterms qt JOIN tf ON tf.term = qt.term
+)
+SELECT m.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang
 """
 
 # Tombstoned search: stats (N, avgdl, df) over the FULL corpus, the
@@ -2485,6 +2520,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "bm25_lang_filtered": q_bm25_lang_filtered,
     "bm25_tombstoned": q_bm25_tombstoned,
+    "facet_counts": q_facet_counts,
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
     "phrase_topk": q_phrase_topk,
@@ -2559,6 +2595,7 @@ ORACLE_SQL = {
     "more_like_this": _SQL_MORE_LIKE_THIS,
     "bm25_lang_filtered": _SQL_BM25_LANG,
     "bm25_tombstoned": _SQL_BM25_TOMBSTONED,
+    "facet_counts": _SQL_FACETS,
     "bm25_sharded": _SQL_BM25_TOPK,  # sharded must equal monolithic
     "bm25_prf_rerank": _SQL_BM25_PRF,
     "phrase_topk": _SQL_PHRASE_TOPK,

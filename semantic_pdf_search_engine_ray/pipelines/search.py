@@ -196,3 +196,69 @@ def run_queries_with_highlights(
         else hl_tbl
     )
     return enriched.drop_columns(["text"]), hl_tbl
+
+
+class FacetActor:
+    """Actor-pool stage: query batches -> per-facet match counts.
+
+    The search-tier "facets sidebar": for each query, how many docs in
+    the full (disjunctive) match set carry each value of a docs-store
+    column. The facet column resolves ONCE per actor from the docs
+    store into a dense int8-codes array (same pattern as QueryActor's
+    filter mask), so per query the count is one bincount over the
+    match mask — no per-facet passes."""
+
+    def __init__(self, index_dir: str, facet_col: str = "lang"):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+        self.reader = IndexReader(index_dir)
+        f = pq.read_table(os.path.join(index_dir, "docs"),
+                          columns=["doc_id", facet_col])
+        vals = f.column(facet_col).to_pylist()
+        self.cats = sorted(set(v for v in vals if v is not None))
+        code = {v: i for i, v in enumerate(self.cats)}
+        self.codes = np.full(len(self.reader.doc_len), -1, dtype=np.int64)
+        self.codes[f.column("doc_id").to_numpy()] = [
+            code.get(v, -1) for v in vals
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        qids, facets, counts = [], [], []
+        for qid, q in zip(batch.column("query_id").to_pylist(),
+                          batch.column("query").to_pylist()):
+            m = self.reader.matched_docs(q)
+            hit = self.codes[m]
+            hit = hit[hit >= 0]
+            cnt = np.bincount(hit, minlength=len(self.cats))
+            for ci in np.flatnonzero(cnt):
+                qids.append(qid)
+                facets.append(self.cats[ci])
+                counts.append(int(cnt[ci]))
+        return pa.table(
+            {"query_id": pa.array(qids, type=pa.int64()),
+             "facet": pa.array(facets, type=pa.string()),
+             "n_docs": pa.array(counts, type=pa.int64())}
+        )
+
+
+def facet_counts(
+    index_dir: str,
+    queries_ds: rd.Dataset,
+    facet_col: str = "lang",
+    cfg: EngineConfig | None = None,
+) -> rd.Dataset:
+    """(query_id, query) -> (query_id, facet, n_docs) over the full
+    disjunctive match set of each query."""
+    cfg = cfg or EngineConfig()
+    return queries_ds.map_batches(
+        FacetActor,
+        fn_constructor_args=(index_dir, facet_col),
+        batch_format="pyarrow",
+        batch_size=cfg.query_batch_size,
+        concurrency=cfg.query_concurrency,
+    )

@@ -278,6 +278,19 @@ class IndexReader:
         top = cand[order[:k]]
         return [(int(d), float(scores[d])) for d in top]
 
+    def matched_docs(self, query: str) -> np.ndarray:
+        """Bool mask of docs containing ANY query term (disjunctive
+        match set, tombstones excluded) — the base set facet counting
+        and match-count stats run over; no scoring."""
+        m = np.zeros(len(self.doc_len), dtype=bool)
+        for term in query_terms(query):
+            if int(self.df.get(term, 0)) > 0:
+                ids, _ = self._term_postings(term)
+                m[ids] = True
+        if self.deleted is not None:
+            m &= ~self.deleted
+        return m
+
     def expand_prefix(self, prefix: str, max_expand: int = 16) -> list[str]:
         """Dictionary terms starting with ``prefix``: two binary searches
         over the sorted term array (built lazily once per reader), then

@@ -64,6 +64,7 @@ SUBSET = [
     "hashed_tfidf",
     "source_cap_sample",
     "interval_join_clicks",
+    "facet_counts",
 ]
 
 
