@@ -235,6 +235,15 @@ def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
     return ts.hashed_tfidf(read_docs(sf_dir))
 
 
+def q_hashed_text_dup(sf_dir: str) -> pa.Table:
+    """Model-free text near-dup: hashed tf-idf dense vectors -> exact
+    cosine pairs >= HASHED_DUP_THRESHOLD."""
+    return dd.hashed_text_dup_pairs(
+        documents_path(sf_dir), threshold=HASHED_DUP_THRESHOLD,
+        dim=ts.HASHED_TFIDF_DIM,
+    )
+
+
 SOURCE_CAP = 10
 
 
@@ -1802,6 +1811,40 @@ SELECT doc_id, bucket,
 FROM nz
 """
 
+HASHED_DUP_THRESHOLD = 0.95
+
+# Text near-dup via the hashed featurizer: cosine over L2-normalized
+# hashed tf-idf vectors = sum of products on shared buckets
+# (UNROUNDED values — rounding happens once, on the output cosine).
+_SQL_HASHED_TEXT_DUP = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+b AS (
+  SELECT tf.doc_id,
+         (md5_number_lower(tf.term) % {ts.HASHED_TFIDF_DIM})::BIGINT AS bucket,
+         sum(tf.tf * ln(n.n_docs * 1.0 / df.df)) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id, bucket
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM b GROUP BY doc_id),
+v AS (
+  SELECT b.doc_id, b.bucket, b.w / nrm.nm AS val
+  FROM b JOIN nrm USING (doc_id) WHERE nrm.nm > 0
+),
+p AS (
+  SELECT a.doc_id AS ida, c.doc_id AS idb, sum(a.val * c.val) AS cos
+  FROM v a JOIN v c ON c.bucket = a.bucket AND c.doc_id > a.doc_id
+  GROUP BY a.doc_id, c.doc_id
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b, round(cos, 6) AS cosine
+FROM p WHERE cos >= {HASHED_DUP_THRESHOLD}
+"""
+
 _SQL_COLLOCATIONS = f"""
 WITH toks AS (
   SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
@@ -2511,6 +2554,7 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "hashed_tfidf": q_hashed_tfidf,
     "source_cap_sample": q_source_cap,
+    "hashed_text_dup": q_hashed_text_dup,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2586,6 +2630,7 @@ ORACLE_SQL = {
     "bigram_logprob": _SQL_BIGRAM_LL,
     "hashed_tfidf": _SQL_HASHED_TFIDF,
     "source_cap_sample": _SQL_SOURCE_CAP,
+    "hashed_text_dup": _SQL_HASHED_TEXT_DUP,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

@@ -1178,3 +1178,30 @@ def global_line_dedup(
         )
 
     return with_removed.map_batches(finish, batch_format="pyarrow")
+
+
+def hashed_text_dup_pairs(
+    docs_path: str | list[str],
+    threshold: float = 0.6,
+    dim: int = 64,
+) -> pa.Table:
+    """Text-level near-dup pairs WITHOUT a model: docs are embedded via
+    the hashing-trick tf-idf featurizer (textstats.hashed_tfidf dense
+    form), then scored by exact cosine — connects the text family to
+    the embedding-dedup family end to end. Brute-force all-pairs is the
+    oracle-checkable baseline (same contract as embedding_dup_pairs);
+    the scale path is the same vectors through SemDeDup clustering or
+    IVF cells."""
+    import tempfile
+
+    from semantic_pdf_search_engine_ray.pipelines.textstats import (
+        hashed_tfidf,
+    )
+
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    dense = hashed_tfidf(docs, dim=dim, dense=True)
+    tmp = tempfile.mkdtemp(prefix="spse_hashvec_", dir="/tmp")
+    dense.write_parquet(tmp)
+    out = embedding_dup_pairs(tmp, threshold=threshold,
+                              id_col="doc_id", emb_col="embedding")
+    return out.rename_columns(["doc_id_a", "doc_id_b", "cosine"])

@@ -518,7 +518,8 @@ HASHED_TFIDF_DIM = 64
 
 
 def hashed_tfidf(
-    docs: rd.Dataset, dim: int = HASHED_TFIDF_DIM, num_partitions: int = 8
+    docs: rd.Dataset, dim: int = HASHED_TFIDF_DIM, num_partitions: int = 8,
+    dense: bool = False,
 ) -> rd.Dataset:
     """Hashing-trick tf-idf document featurizer: every doc becomes an
     L2-normalized ``dim``-dimensional sparse vector,
@@ -558,14 +559,22 @@ def hashed_tfidf(
         acc = np.zeros(dim, dtype=np.float64)
         np.add.at(acc, buckets, w)
         norm = float(np.sqrt((acc * acc).sum()))
+        if norm > 0.0:
+            acc = acc / norm
+        doc_id = group.column("doc_id")[0].as_py()
+        if dense:
+            # one (doc_id, embedding) row — the shape the ANN / near-dup
+            # / SemDeDup family consumes (unrounded float64)
+            return pa.table(
+                {"doc_id": pa.array([doc_id], type=pa.int64()),
+                 "embedding": pa.array([acc.tolist()],
+                                       type=pa.list_(pa.float64()))}
+            )
         nz = np.flatnonzero(acc)
-        vals = acc[nz] / norm if norm > 0.0 else acc[nz]
         return pa.table(
-            {"doc_id": pa.array(
-                np.full(len(nz), group.column("doc_id")[0].as_py()),
-                type=pa.int64()),
+            {"doc_id": pa.array(np.full(len(nz), doc_id), type=pa.int64()),
              "bucket": pa.array(nz, type=pa.int64()),
-             "value": pa.array([_r6(float(v)) for v in vals],
+             "value": pa.array([_r6(float(acc[i])) for i in nz],
                                type=pa.float64())}
         )
 

@@ -65,6 +65,7 @@ SUBSET = [
     "source_cap_sample",
     "interval_join_clicks",
     "facet_counts",
+    "hashed_text_dup",
 ]
 
 
