@@ -143,6 +143,52 @@ def _serve(args) -> int:
             return r.top_k_prefix(pfx, k)
         return r.top_k(q, k) if sharded else r.top_k_auto(q, k)
 
+    facet_cache: dict[str, tuple] = {}
+
+    def facet_sidebar(q: str, col: str) -> list[dict]:
+        """Per-facet match counts for a query (the /api/facets sidebar):
+        facet column loaded ONCE per serve process from the docs
+        store(s), match set unioned across shard readers."""
+        import numpy as np
+
+        cached = facet_cache.get(col)
+        if cached is None:
+            ids_parts, val_parts = [], []
+            for d in docs_dirs():
+                if not os.path.isdir(d):
+                    continue
+                ds = pads.dataset(d)
+                if col not in ds.schema.names:
+                    continue
+                t = ds.to_table(columns=["doc_id", col])
+                ids_parts.append(t.column("doc_id").to_numpy())
+                val_parts.extend(t.column(col).to_pylist())
+            if not ids_parts:
+                facet_cache[col] = cached = None, None
+            else:
+                ids = np.concatenate(ids_parts)
+                order = np.argsort(ids)
+                vals = np.asarray(val_parts, dtype=object)[order]
+                facet_cache[col] = cached = ids[order], vals
+        f_ids, f_vals = cached
+        if f_ids is None:
+            return []
+        with lock:
+            r = state["reader"]
+        subs = r.readers if sharded else [r]
+        matched_parts = [np.flatnonzero(sr.matched_docs(q)) for sr in subs]
+        matched = (np.unique(np.concatenate(matched_parts))
+                   if matched_parts else np.empty(0, np.int64))
+        pos = np.searchsorted(f_ids, matched)
+        ok = (pos < len(f_ids)) & (f_ids[np.minimum(pos, len(f_ids) - 1)]
+                                   == matched)
+        counts: dict[str, int] = {}
+        for v in f_vals[pos[ok]]:
+            if v is not None:
+                counts[v] = counts.get(v, 0) + 1
+        return [{"facet": k, "n_docs": counts[k]}
+                for k in sorted(counts)]
+
     def hit_payload(q: str, hits: list[tuple[int, float]]) -> list[dict]:
         docs = fetch_docs(sorted({d for d, _ in hits}))
         out = []
@@ -278,6 +324,13 @@ def _serve(args) -> int:
                     for i, (t, d) in enumerate(r.suggest(toks[0]),
                                                start=1)
                 ])
+            elif url.path == "/api/facets":
+                q = (qs.get("q") or [""])[0]
+                col = (qs.get("col") or ["lang"])[0]
+                if not q.strip():
+                    self._json([])
+                    return
+                self._json(facet_sidebar(q, col))
             elif url.path == "/api/more":
                 try:
                     doc = int((qs.get("doc") or [""])[0])

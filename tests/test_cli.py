@@ -82,7 +82,7 @@ def sharded_root(ray_session, tmp_path_factory):
 
     root = str(tmp_path_factory.mktemp("cli") / "sharded")
     docs = rd.read_parquet(f"{SF}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text", "lang"])
     build_sharded_index(docs, root, n_shards=2,
                         input_lineage={"t": "cli-serve"})
     return root
@@ -135,6 +135,27 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
         hits = _http_json(f"{base}/api/search?q=table%20scan&k=3")
         assert len(hits) == 3
         assert {"rank", "doc_id", "score", "url", "text", "highlights"} <= set(hits[0])
+
+        # facets sidebar: per-lang counts over the full match set,
+        # exact against a direct pass over the corpus
+        facets = _http_json(f"{base}/api/facets?q=table%20scan")
+        assert facets and all(f["n_docs"] > 0 for f in facets)
+        import pyarrow.parquet as pq
+
+        from semantic_pdf_search_engine_ray.functions.tokenize import (
+            query_terms,
+            tokenize,
+        )
+
+        terms = set(query_terms("table scan"))
+        tbl = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["text", "lang"])
+        want: dict[str, int] = {}
+        for text, lang in zip(tbl.column("text").to_pylist(),
+                              tbl.column("lang").to_pylist()):
+            if terms & set(tokenize(text)):
+                want[lang] = want.get(lang, 0) + 1
+        assert {f["facet"]: f["n_docs"] for f in facets} == want
 
         marker = "xanthozephyr quasar lattice"
         up = _http_json(f"{base}/upload", data={
