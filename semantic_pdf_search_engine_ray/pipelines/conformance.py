@@ -235,6 +235,13 @@ def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
     return ts.hashed_tfidf(read_docs(sf_dir))
 
 
+def q_length_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-source length-outlier flag (quantile_disc band clip)."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["doc_id", "source", "n_chars"])
+    return ts.length_outlier_filter(docs)
+
+
 def q_hashed_text_dup(sf_dir: str) -> pa.Table:
     """Model-free text near-dup: hashed tf-idf dense vectors -> exact
     cosine pairs >= HASHED_DUP_THRESHOLD."""
@@ -1811,6 +1818,18 @@ SELECT doc_id, bucket,
 FROM nz
 """
 
+_SQL_LENGTH_OUTLIERS = f"""
+WITH b AS (
+  SELECT source,
+         quantile_disc(n_chars, {ts.LENGTH_OUTLIER_LO_Q}) AS lo,
+         quantile_disc(n_chars, {ts.LENGTH_OUTLIER_HI_Q}) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       (d.n_chars >= b.lo AND d.n_chars <= b.hi) AS keep
+FROM documents d JOIN b USING (source)
+"""
+
 HASHED_DUP_THRESHOLD = 0.95
 
 # Text near-dup via the hashed featurizer: cosine over L2-normalized
@@ -2555,6 +2574,7 @@ QUERIES = {
     "hashed_tfidf": q_hashed_tfidf,
     "source_cap_sample": q_source_cap,
     "hashed_text_dup": q_hashed_text_dup,
+    "length_outliers": q_length_outliers,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2631,6 +2651,7 @@ ORACLE_SQL = {
     "hashed_tfidf": _SQL_HASHED_TFIDF,
     "source_cap_sample": _SQL_SOURCE_CAP,
     "hashed_text_dup": _SQL_HASHED_TEXT_DUP,
+    "length_outliers": _SQL_LENGTH_OUTLIERS,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

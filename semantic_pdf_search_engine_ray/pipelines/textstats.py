@@ -923,3 +923,72 @@ def curation_report(docs: rd.Dataset) -> rd.Dataset:
         Sum("n_kept", alias_name="n_kept"),
         Sum("kept_tokens", alias_name="kept_tokens"),
     )
+
+
+LENGTH_OUTLIER_LO_Q = 0.05
+LENGTH_OUTLIER_HI_Q = 0.95
+
+
+def length_outlier_filter(
+    docs: rd.Dataset,
+    lo_q: float = LENGTH_OUTLIER_LO_Q,
+    hi_q: float = LENGTH_OUTLIER_HI_Q,
+    group_col: str = "source",
+) -> rd.Dataset:
+    """Distribution-based length filter: flag docs whose n_chars falls
+    outside the [lo_q, hi_q] quantile band OF THEIR OWN source — the
+    per-domain outlier clip real curation recipes apply (absolute
+    thresholds misfire when sources have different length regimes).
+
+    Quantiles use the pinned DuckDB quantile_disc convention (sorted
+    element at ceil(q*n)-1, exact data values, no interpolation). Two
+    cheap passes: a |sources|-sized bounds table from one group-quantile
+    shuffle over (source, n_chars) ONLY (columns pruned at the read),
+    broadcast into a map-side flagging pass. Output keeps every row with
+    a boolean ``keep`` so downstream chooses flag-vs-drop."""
+    import math
+
+    import ray
+
+    def group_bounds(group: pa.Table) -> pa.Table:
+        vals = np.sort(group.column("n_chars").to_numpy(
+            zero_copy_only=False))
+        n = len(vals)
+        lo = int(vals[max(int(math.ceil(lo_q * n)) - 1, 0)])
+        hi = int(vals[max(int(math.ceil(hi_q * n)) - 1, 0)])
+        return pa.table(
+            {group_col: pa.array([group.column(group_col)[0].as_py()]),
+             "lo": pa.array([lo], type=pa.int64()),
+             "hi": pa.array([hi], type=pa.int64())}
+        )
+
+    bounds_parts = [
+        p for p in ray.get(
+            docs.select_columns([group_col, "n_chars"])
+            .groupby(group_col)
+            .map_groups(group_bounds, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if p.num_rows
+    ]
+    bounds: dict[str, tuple[int, int]] = {}
+    for p in bounds_parts:
+        for r in p.to_pylist():
+            bounds[r[group_col]] = (r["lo"], r["hi"])
+    b_ref = ray.put(bounds)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        n = batch.column("n_chars").to_numpy()
+        keeps = []
+        for src, nc in zip(batch.column(group_col).to_pylist(), n):
+            lo, hi = b[src]
+            keeps.append(bool(lo <= nc <= hi))
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             group_col: batch.column(group_col),
+             "n_chars": batch.column("n_chars").cast(pa.int64()),
+             "keep": pa.array(keeps, type=pa.bool_())}
+        )
+
+    return docs.select_columns(["doc_id", group_col, "n_chars"]) \
+        .map_batches(flag, batch_format="pyarrow")

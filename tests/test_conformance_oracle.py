@@ -66,6 +66,7 @@ SUBSET = [
     "interval_join_clicks",
     "facet_counts",
     "hashed_text_dup",
+    "length_outliers",
 ]
 
 
