@@ -235,6 +235,13 @@ def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
     return ts.hashed_tfidf(read_docs(sf_dir))
 
 
+def q_source_kl(sf_dir: str) -> rd.Dataset:
+    """Per-source token-distribution KL divergence vs the corpus."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["source", "text"])
+    return ts.source_token_kl(docs)
+
+
 def q_length_outliers(sf_dir: str) -> rd.Dataset:
     """Per-source length-outlier flag (quantile_disc band clip)."""
     docs = rd.read_parquet(documents_path(sf_dir),
@@ -1818,6 +1825,23 @@ SELECT doc_id, bucket,
 FROM nz
 """
 
+_SQL_SOURCE_KL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+st AS (SELECT source, term, count(*)::BIGINT AS c FROM toks GROUP BY source, term),
+ct AS (SELECT term, sum(c)::BIGINT AS ct FROM st GROUP BY term),
+cs AS (SELECT source, sum(c)::BIGINT AS cs FROM st GROUP BY source),
+tot AS (SELECT sum(c) AS total FROM st)
+SELECT st.source, cs.cs AS n_tokens,
+       round(sum((st.c * 1.0 / cs.cs)
+                 * ln((st.c * 1.0 / cs.cs) / (ct.ct * 1.0 / tot.total))),
+             6) AS kl
+FROM st JOIN ct USING (term) JOIN cs USING (source) CROSS JOIN tot
+GROUP BY st.source, cs.cs
+"""
+
 _SQL_LENGTH_OUTLIERS = f"""
 WITH b AS (
   SELECT source,
@@ -2575,6 +2599,7 @@ QUERIES = {
     "source_cap_sample": q_source_cap,
     "hashed_text_dup": q_hashed_text_dup,
     "length_outliers": q_length_outliers,
+    "source_token_kl": q_source_kl,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2652,6 +2677,7 @@ ORACLE_SQL = {
     "source_cap_sample": _SQL_SOURCE_CAP,
     "hashed_text_dup": _SQL_HASHED_TEXT_DUP,
     "length_outliers": _SQL_LENGTH_OUTLIERS,
+    "source_token_kl": _SQL_SOURCE_KL,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

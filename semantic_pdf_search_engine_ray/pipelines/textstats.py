@@ -992,3 +992,81 @@ def length_outlier_filter(
 
     return docs.select_columns(["doc_id", group_col, "n_chars"]) \
         .map_batches(flag, batch_format="pyarrow")
+
+
+def source_token_kl(docs: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Token-distribution drift per source: KL(source || corpus) =
+    sum_t p_s(t) * ln(p_s(t) / p_c(t)) over the source's observed
+    terms — the "is this domain's language off-distribution" curation
+    signal (high KL = jargon/spam/templated source).
+
+    Exact and fully distributed: (source, term) counts from one
+    partial-aggregating groupby, corpus term totals derived by a second
+    groupby over THAT table (never re-tokenizing), the vocab-sized term
+    totals JOINED back (not broadcast); only the |sources|-sized totals
+    table is collected/broadcast. Output (source, n_tokens, kl)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        terms: list[str] = []
+        for src, text in zip(batch.column("source").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = tokenize(text)
+            srcs.extend([src] * len(toks))
+            terms.extend(toks)
+        return pa.table({"source": pa.array(srcs, type=pa.string()),
+                         "term": pa.array(terms, type=pa.string()),
+                         "n": pa.array(np.ones(len(terms), np.int64))})
+
+    st = (docs.select_columns(["source", "text"])
+          .map_batches(to_rows, batch_format="pyarrow")
+          .groupby(["source", "term"])
+          .aggregate(Sum("n", alias_name="c"))
+          .materialize())
+    term_tot = st.groupby("term").aggregate(Sum("c", alias_name="ct"))
+    src_parts = [
+        p for p in ray.get(
+            st.groupby("source").aggregate(Sum("c", alias_name="cs"))
+            .to_arrow_refs()
+        ) if p.num_rows
+    ]
+    src_tot = {r["source"]: int(r["cs"])
+               for p in src_parts for r in p.to_pylist()}
+    total = sum(src_tot.values())
+    tot_ref = ray.put((src_tot, total))
+
+    joined = st.join(term_tot.materialize(), "inner", num_partitions,
+                     on=("term",))
+
+    def partial_kl(batch: pa.Table) -> pa.Table:
+        s_tot, tot = ray.get(tot_ref)
+        srcs = batch.column("source").to_pylist()
+        c = batch.column("c").to_numpy().astype(np.float64)
+        ct = batch.column("ct").to_numpy().astype(np.float64)
+        cs = np.fromiter((s_tot[s] for s in srcs), dtype=np.float64,
+                         count=len(srcs))
+        contrib = (c / cs) * np.log((c / cs) / (ct / tot))
+        return pa.table(
+            {"source": batch.column("source"),
+             "kl_part": pa.array(contrib, type=pa.float64()),
+             "n_part": batch.column("c")}
+        )
+
+    agg = (joined.map_batches(partial_kl, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("kl_part", alias_name="kl_raw"),
+                      Sum("n_part", alias_name="n_tokens")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": batch.column("source"),
+             "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+             "kl": pa.array(
+                 [_r6(float(v)) for v in
+                  batch.column("kl_raw").to_pylist()],
+                 type=pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

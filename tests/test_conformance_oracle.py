@@ -67,6 +67,7 @@ SUBSET = [
     "facet_counts",
     "hashed_text_dup",
     "length_outliers",
+    "source_token_kl",
 ]
 
 
