@@ -235,6 +235,46 @@ def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
     return ts.hashed_tfidf(read_docs(sf_dir))
 
 
+SUBSTRING_PATTERNS = 5
+SUBSTRING_OFF = 10   # Python text[10:18] == SQL substr(text, 11, 8)
+SUBSTRING_LEN = 8
+
+
+def _trigram_index(sf_dir: str) -> str:
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        build_trigram_index,
+    )
+
+    out = f"/tmp/spse_ray_tri_{_sf_cache_key(sf_dir)}"
+    build_trigram_index(documents_path(sf_dir), out,
+                        input_lineage={"sf_dir": os.path.abspath(sf_dir)})
+    return out
+
+
+def q_substring_search(sf_dir: str) -> rd.Dataset:
+    """Grep-style substring search through the trigram index: patterns
+    are 8-char slices of the SUBSTRING_PATTERNS lowest-doc_id texts
+    (derived identically in SQL), matches verified on raw text."""
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        substring_search,
+    )
+
+    import pyarrow.dataset as pads
+
+    index_dir = _trigram_index(sf_dir)
+    src = pads.dataset(documents_path(sf_dir)).to_table(
+        columns=["doc_id", "text"]).sort_by("doc_id")
+    pats = [
+        t[SUBSTRING_OFF:SUBSTRING_OFF + SUBSTRING_LEN]
+        for t in src.column("text").to_pylist()[:SUBSTRING_PATTERNS]
+    ]
+    tbl = pa.table({
+        "pattern_id": pa.array(range(len(pats)), type=pa.int64()),
+        "pattern": pa.array(pats, type=pa.string()),
+    })
+    return substring_search(index_dir, tbl)
+
+
 def q_source_kl(sf_dir: str) -> rd.Dataset:
     """Per-source token-distribution KL divergence vs the corpus."""
     docs = rd.read_parquet(documents_path(sf_dir),
@@ -1825,6 +1865,17 @@ SELECT doc_id, bucket,
 FROM nz
 """
 
+_SQL_SUBSTRING = f"""
+WITH pats AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS pattern_id,
+         substr(text, {SUBSTRING_OFF + 1}, {SUBSTRING_LEN}) AS pat
+  FROM (SELECT doc_id, text FROM documents
+        ORDER BY doc_id LIMIT {SUBSTRING_PATTERNS})
+)
+SELECT p.pattern_id, d.doc_id
+FROM pats p JOIN documents d ON contains(d.text, p.pat)
+"""
+
 _SQL_SOURCE_KL = f"""
 WITH toks AS (
   SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -2600,6 +2651,7 @@ QUERIES = {
     "hashed_text_dup": q_hashed_text_dup,
     "length_outliers": q_length_outliers,
     "source_token_kl": q_source_kl,
+    "substring_search": q_substring_search,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2678,6 +2730,7 @@ ORACLE_SQL = {
     "hashed_text_dup": _SQL_HASHED_TEXT_DUP,
     "length_outliers": _SQL_LENGTH_OUTLIERS,
     "source_token_kl": _SQL_SOURCE_KL,
+    "substring_search": _SQL_SUBSTRING,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

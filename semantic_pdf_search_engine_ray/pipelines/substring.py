@@ -1,0 +1,196 @@
+"""Trigram substring-search index: grep-style `pattern in text` queries
+the tokenized BM25 index cannot express (the analyzer folds case and
+strips punctuation; substring search must not).
+
+Engine addition beyond the reference (which has only token search +
+fuzzy re-localization): the classic trigram design (PostgreSQL pg_trgm,
+Google Code Search — Cox, "Regular Expression Matching with a Trigram
+Index"). Case-SENSITIVE raw-text semantics, the exact contract of SQL
+``contains(text, pattern)`` — mirrored by the conformance oracle.
+
+Build (Ray-Data-first):
+  docs -> per-doc DISTINCT char trigrams (map_batches, set per doc)
+       -> ONE groupby(trigram) -> sorted delta+varint doc-id blobs
+       (functions/codec — the same posting codec as the BM25 index)
+       -> parquet + committed manifest.
+Query:
+  pattern trigrams -> smallest posting first, sorted-array intersect
+  -> candidate doc ids (superset) -> VERIFY with a pushdown isin read
+  of only the candidate texts (`pattern in text`) — never a corpus
+  scan. Patterns shorter than 3 chars are rejected (no trigram can
+  prune; a corpus scan in disguise).
+
+Partitioning assumption at 10^12 docs: trigram keys are ~alphabet^3
+uniform hash keys for the groupby; posting blobs shard by trigram
+exactly like the BM25 term shards (doc-range sub-indexes + owner
+merge), and verification stays pushdown-per-candidate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from semantic_pdf_search_engine_ray.functions.codec import (
+    decode_doc_ids,
+    encode_doc_ids,
+)
+from semantic_pdf_search_engine_ray.state import manifest as mf
+
+MIN_PATTERN_LEN = 3
+
+
+def text_trigrams(text: str) -> set[str]:
+    """Distinct char trigrams of the RAW text (case-sensitive)."""
+    return {text[i:i + 3] for i in range(len(text) - 2)}
+
+
+def _trigram_rows(batch: pa.Table) -> pa.Table:
+    tris: list[str] = []
+    ids: list[int] = []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        g = text_trigrams(text)
+        tris.extend(g)
+        ids.extend([doc_id] * len(g))
+    return pa.table({"tri": pa.array(tris, type=pa.string()),
+                     "doc_id": pa.array(ids, type=pa.int64())})
+
+
+def _encode_group(group: pa.Table) -> pa.Table:
+    ids = np.sort(group.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    return pa.table(
+        {"tri": pa.array([group.column("tri")[0].as_py()],
+                         type=pa.string()),
+         "df": pa.array([len(ids)], type=pa.int64()),
+         "docs": pa.array([encode_doc_ids(ids)], type=pa.binary())}
+    )
+
+
+def build_trigram_index(
+    docs_path: str | list[str], out_dir: str,
+    input_lineage: dict | None = None,
+) -> dict:
+    """documents parquet -> committed trigram index under ``out_dir``
+    (postings/ parquet + docs source path pinned in the manifest)."""
+    if not mf.is_ready(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        ck = mf.StageCheckpoint(
+            out_dir, "trigrams",
+            {"input": input_lineage or {}, "fmt": "tri-delta-varint-v1"},
+        )
+        if not ck.is_complete():
+            out = ck.fresh_dir()
+            (rd.read_parquet(docs_path, columns=["doc_id", "text"])
+             .map_batches(_trigram_rows, batch_format="pyarrow")
+             .groupby("tri")
+             .map_groups(_encode_group, batch_format="pyarrow")
+             .write_parquet(out))
+            ck.commit()
+        mf.commit_manifest(out_dir, {
+            "layout": "trigram_v1",
+            "docs_path": (docs_path if isinstance(docs_path, str)
+                          else list(docs_path)),
+        })
+    return mf.load_manifest(out_dir)
+
+
+class TrigramReader:
+    """Loads a committed trigram index; answers substring queries.
+
+    Same memory contract as IndexReader: per-actor state is the
+    (trigram -> blob) table; candidate verification pushdown-reads
+    only the candidate docs from the source parquet."""
+
+    def __init__(self, index_dir: str):
+        m = mf.load_manifest(index_dir)
+        self.docs_path = m["docs_path"]
+        t = pq.read_table(os.path.join(index_dir, "trigrams"),
+                          columns=["tri", "df", "docs"])
+        self._df = dict(zip(t.column("tri").to_pylist(),
+                            t.column("df").to_pylist()))
+        self._blob = dict(zip(t.column("tri").to_pylist(),
+                              t.column("docs").to_pylist()))
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _postings(self, tri: str) -> np.ndarray:
+        hit = self._cache.get(tri)
+        if hit is None:
+            blob = self._blob.get(tri)
+            hit = (decode_doc_ids(blob) if blob is not None
+                   else np.empty(0, np.int64))
+            self._cache[tri] = hit
+        return hit
+
+    def candidates(self, pattern: str) -> np.ndarray:
+        """Sorted doc ids containing EVERY trigram of ``pattern`` —
+        a superset of the true matches."""
+        if len(pattern) < MIN_PATTERN_LEN:
+            raise ValueError(
+                f"pattern must be >= {MIN_PATTERN_LEN} chars "
+                "(shorter patterns cannot prune the corpus)")
+        tris = sorted(text_trigrams(pattern),
+                      key=lambda t: self._df.get(t, 0))
+        common = self._postings(tris[0])
+        for t in tris[1:]:
+            if common.size == 0:
+                break
+            common = common[np.isin(common, self._postings(t),
+                                    assume_unique=True)]
+        return common
+
+    def search(self, pattern: str) -> list[int]:
+        """Exact substring match: trigram candidates verified against
+        the candidate docs' raw text (pushdown isin read)."""
+        cand = self.candidates(pattern)
+        if cand.size == 0:
+            return []
+        t = pads.dataset(self.docs_path).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(cand.tolist()),
+        )
+        return sorted(
+            d for d, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist())
+            if pattern in txt
+        )
+
+
+class SubstringQueryActor:
+    """Actor-pool stage: (pattern_id, pattern) batches -> one row per
+    (pattern_id, doc_id) match; the reader loads once per actor."""
+
+    def __init__(self, index_dir: str):
+        self.reader = TrigramReader(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids: list[int] = []
+        docs: list[int] = []
+        for pid, pat in zip(batch.column("pattern_id").to_pylist(),
+                            batch.column("pattern").to_pylist()):
+            for d in self.reader.search(pat):
+                pids.append(pid)
+                docs.append(d)
+        return pa.table(
+            {"pattern_id": pa.array(pids, type=pa.int64()),
+             "doc_id": pa.array(docs, type=pa.int64())}
+        )
+
+
+def substring_search(
+    index_dir: str, patterns: pa.Table, concurrency: int = 2,
+) -> rd.Dataset:
+    """(pattern_id, pattern) table -> (pattern_id, doc_id) matches."""
+    return rd.from_arrow(patterns).map_batches(
+        SubstringQueryActor,
+        fn_constructor_args=(index_dir,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -68,6 +68,7 @@ SUBSET = [
     "hashed_text_dup",
     "length_outliers",
     "source_token_kl",
+    "substring_search",
 ]
 
 

@@ -145,3 +145,43 @@ def test_serve_rejects_bad_requests(ray_session, tmp_path_factory):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_trigram_substring_index_contract(ray_session, tmp_path):
+    """Trigram substring index: exact `pattern in text` semantics,
+    case-sensitive, candidates always a superset of verified matches,
+    short patterns rejected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        TrigramReader,
+        build_trigram_index,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "the Quick brown fox", "quick brown foxes run",
+            "nothing to see here", "QUICK BROWN",
+        ]),
+    })
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    idx = str(tmp_path / "tri")
+    build_trigram_index(path, idx, input_lineage={"t": "tri-test"})
+    r = TrigramReader(idx)
+
+    assert r.search("quick brown") == [1]        # case-sensitive
+    assert r.search("Quick brown") == [0]
+    assert r.search("brown fox") == [0, 1]
+    assert r.search("zzz") == []
+    with _pytest.raises(ValueError):
+        r.search("ab")
+    # candidates are a superset of true matches
+    cand = set(r.candidates("brown fox").tolist())
+    assert {0, 1} <= cand
+    # rebuild is a no-op (manifest committed)
+    build_trigram_index(path, idx, input_lineage={"t": "tri-test"})
+    assert TrigramReader(idx).search("brown fox") == [0, 1]
