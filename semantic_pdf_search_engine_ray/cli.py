@@ -237,7 +237,7 @@ def _serve(args) -> int:
 
         from semantic_pdf_search_engine_ray.pipelines.sharding import (
             ShardedReader,
-            add_documents,
+            upsert_documents,
         )
 
         tbl = pa.table({
@@ -248,8 +248,11 @@ def _serve(args) -> int:
             "text": pa.array([r["text"] for r in rows],
                              type=pa.string()),
         })
-        add_documents(index_dir, rd.from_arrow(tbl),
-                      input_lineage={"ingest": ingest_id})
+        # upsert, not append: re-uploading a url replaces it (the old
+        # version tombstones in its shard) instead of double-indexing —
+        # the reference double-indexes re-uploads (qdrant.rs:48)
+        upsert_documents(index_dir, rd.from_arrow(tbl),
+                         input_lineage={"ingest": ingest_id})
         new_reader = ShardedReader(index_dir)
         with lock:
             state["reader"] = new_reader

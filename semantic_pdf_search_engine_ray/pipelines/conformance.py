@@ -235,6 +235,27 @@ def q_hashed_tfidf(sf_dir: str) -> rd.Dataset:
     return ts.hashed_tfidf(read_docs(sf_dir))
 
 
+def q_index_stats(sf_dir: str) -> pa.Table:
+    """One-row index health report straight off the committed index
+    (dictionary + manifest) — every number independently recomputed by
+    the SQL oracle from raw text: vocabulary size, total postings
+    (distinct (term, doc) pairs), max df, corpus doc/token counts."""
+    index_dir = ensure_index(sf_dir)
+    d = pq.read_table(os.path.join(index_dir, "dictionary"),
+                      columns=["term", "df"])
+    m = mf.load_manifest(index_dir)
+    df = d.column("df").to_numpy()
+    return pa.table({
+        "n_terms": pa.array([d.num_rows], type=pa.int64()),
+        "total_postings": pa.array([int(df.sum())], type=pa.int64()),
+        "max_df": pa.array([int(df.max()) if len(df) else 0],
+                           type=pa.int64()),
+        "n_docs": pa.array([int(m["n_docs"])], type=pa.int64()),
+        "total_tokens": pa.array([int(m["total_tokens"])],
+                                 type=pa.int64()),
+    })
+
+
 SUBSTRING_PATTERNS = 5
 SUBSTRING_OFF = 10   # Python text[10:18] == SQL substr(text, 11, 8)
 SUBSTRING_LEN = 8
@@ -1865,6 +1886,20 @@ SELECT doc_id, bucket,
 FROM nz
 """
 
+_SQL_INDEX_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT (SELECT count(*) FROM df)::BIGINT AS n_terms,
+       (SELECT sum(df) FROM df)::BIGINT AS total_postings,
+       (SELECT max(df) FROM df)::BIGINT AS max_df,
+       (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM toks)::BIGINT AS total_tokens
+"""
+
 _SQL_SUBSTRING = f"""
 WITH pats AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS pattern_id,
@@ -2652,6 +2687,7 @@ QUERIES = {
     "length_outliers": q_length_outliers,
     "source_token_kl": q_source_kl,
     "substring_search": q_substring_search,
+    "index_stats": q_index_stats,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -2731,6 +2767,7 @@ ORACLE_SQL = {
     "length_outliers": _SQL_LENGTH_OUTLIERS,
     "source_token_kl": _SQL_SOURCE_KL,
     "substring_search": _SQL_SUBSTRING,
+    "index_stats": _SQL_INDEX_STATS,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,
     "bm25_topk": _SQL_BM25_TOPK,

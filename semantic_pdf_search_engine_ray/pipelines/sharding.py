@@ -563,3 +563,59 @@ def run_sharded_queries_owned(
     unbounded feed hold an OwnedQueryTier open and stream instead."""
     with OwnedQueryTier(root_dir, n_owners=n_owners) as tier:
         return tier.query(queries, k)
+
+
+def upsert_documents(
+    root_dir: str,
+    docs_ds: rd.Dataset,
+    cfg: EngineConfig | None = None,
+    *,
+    key_col: str = "url",
+    input_lineage: dict | None = None,
+) -> dict:
+    """URL-keyed upsert over a sharded root: any existing doc sharing a
+    ``key_col`` value with an incoming doc is TOMBSTONED in its shard
+    (pipelines.delete — it stops ranking immediately, stats frozen),
+    then the incoming docs land as one new shard via add_documents.
+    The re-upload semantics the reference lacks entirely (re-uploading
+    a PDF double-indexes it under a fresh uuid, qdrant.rs:48) — here a
+    re-uploaded url serves exactly one (the newest) version.
+
+    Old versions are physically reclaimed later by per-shard
+    purge_deleted + compact_shards, the usual two-phase discipline.
+    Incoming doc_ids must still be globally fresh (add_documents
+    contract)."""
+    import pyarrow.dataset as pads
+
+    from semantic_pdf_search_engine_ray.pipelines.delete import (
+        delete_documents,
+    )
+
+    m = mf.load_manifest(root_dir)
+    if m.get("layout") != "doc_range_sharded":
+        raise ValueError(f"{root_dir} is not a sharded index root")
+    keys: set = set()
+    for part in docs_ds.select_columns([key_col]).iter_batches(
+            batch_format="pyarrow"):
+        keys.update(part.column(key_col).to_pylist())
+    n_tombstoned = 0
+    for s in m["shards"]:
+        sdir = os.path.join(root_dir, s)
+        store = os.path.join(sdir, "docs")
+        if not os.path.isdir(store):
+            continue
+        ds = pads.dataset(store)
+        if key_col not in ds.schema.names:
+            continue
+        hit = ds.to_table(
+            columns=["doc_id"],
+            filter=pads.field(key_col).isin(sorted(keys)),
+        )
+        if hit.num_rows:
+            n_tombstoned += delete_documents(
+                sdir, hit.column("doc_id").to_pylist())
+    out = add_documents(root_dir, docs_ds, cfg,
+                        input_lineage={"upsert_key": key_col,
+                                       **(input_lineage or {})})
+    out["upsert_tombstoned"] = n_tombstoned
+    return out

@@ -207,6 +207,27 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
         # analyzer-shared suggest: case/punct input still tokenizes
         sug2 = _http_json(f"{base}/api/suggest?q=XANTHOZEPHR-test")
         assert sug2 and sug2[0]["term"] == "xanthozephyr"
+
+        # RE-upload the same url: upsert semantics — the old version
+        # stops serving, the new one ranks (no double-indexing)
+        up2 = _http_json(f"{base}/upload", data={
+            "docs": [{"url": "upload://t1",
+                      "text": "a replacement document about the "
+                              "verdigris comet cascade instead"}]
+        })
+        for _ in range(300):
+            st = _http_json(f"{base}/api/ready?id={up2['id']}")
+            assert not str(st["status"]).startswith("error"), st
+            if st["ready"]:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("re-upload never became ready")
+        old = _http_json(f"{base}/api/search?q=xanthozephyr%20quasar&k=3")
+        assert all(h["doc_id"] != up["doc_ids"][0] for h in old)
+        new = _http_json(f"{base}/api/search?q=verdigris%20comet&k=3")
+        assert new and new[0]["doc_id"] == up2["doc_ids"][0]
+        assert new[0]["url"] == "upload://t1"
     finally:
         proc.terminate()
         proc.wait(timeout=30)

@@ -69,6 +69,7 @@ SUBSET = [
     "length_outliers",
     "source_token_kl",
     "substring_search",
+    "index_stats",
 ]
 
 

@@ -425,3 +425,49 @@ def test_persistent_owned_tier_streams_batches(both_indexes):
                 want.sort_by([("query_id", "ascending"),
                               ("rank", "ascending")]))
     assert len(owner_ids) == 3
+
+
+def test_upsert_replaces_url_version(ray_session, tmp_path):
+    """URL-keyed upsert: the old doc for a re-uploaded url stops
+    ranking immediately (tombstoned in its shard), the new version
+    serves, and untouched urls keep their exact scores."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+        build_sharded_index,
+        upsert_documents,
+    )
+
+    root = str(tmp_path / "root")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "url": pa.array(["u://a", "u://b", "u://c", "u://d"]),
+        "text": pa.array([
+            "oldmarker alpha beta", "stable gamma delta",
+            "stable epsilon zeta", "oldmarker eta theta",
+        ]),
+    }))
+    build_sharded_index(docs, root, n_shards=2,
+                        input_lineage={"t": "upsert"})
+    r0 = ShardedReader(root)
+    before_stable = r0.top_k("stable", 5)
+    assert {d for d, _ in r0.top_k("oldmarker", 5)} == {0, 3}
+
+    out = upsert_documents(root, rd.from_arrow(pa.table({
+        "doc_id": pa.array([10], type=pa.int64()),
+        "url": pa.array(["u://a"]),
+        "text": pa.array(["newmarker alpha beta"]),
+    })), input_lineage={"t": "upsert2"})
+    assert out["upsert_tombstoned"] == 1
+
+    r1 = ShardedReader(root)
+    hits = {d for d, _ in r1.top_k("oldmarker", 5)}
+    assert 0 not in hits and 3 in hits        # only u://a's old doc gone
+    assert {d for d, _ in r1.top_k("newmarker", 5)} == {10}
+    # untouched urls keep ranking (scores shift with N, which grows
+    # with ingest by contract -- df/N update, avgdl stays pinned)
+    assert [d for d, _ in r1.top_k("stable", 5)] == \
+        [d for d, _ in before_stable]
