@@ -198,7 +198,9 @@ def run_bench() -> dict:
                  "quality_filter", "decontaminate",
                  # round-3 additions (again: keys added, none renamed)
                  "global_line_dedup", "bigram_logprob", "hashed_tfidf",
-                 "source_cap_sample", "bm25_tombstoned"):
+                 "source_cap_sample", "bm25_tombstoned",
+                 "facet_counts", "substring_search", "source_token_kl",
+                 "interval_join_clicks"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)
