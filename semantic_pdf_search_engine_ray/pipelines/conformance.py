@@ -1060,6 +1060,13 @@ def q_segment_revenue(sf_dir: str) -> rd.Dataset:
     return rel.segment_revenue(orders, customer)
 
 
+def q_events_distinct(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window exact distinct-user counts (DAU-class)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["ts", "event_type", "user_id"])
+    return win.tumbling_distinct_users(events)
+
+
 def q_interval_join(sf_dir: str) -> rd.Dataset:
     """INTERVAL join: every purchase x every same-user click within the
     trailing hour (the one-to-many range-join operator)."""
@@ -2309,6 +2316,13 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_SQL_EVENTS_DISTINCT = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2
+"""
+
 _SQL_EVENTS_SLIDING = """
 WITH ev AS (
   -- floored (numpy-convention) second truncation: DuckDB // truncates
@@ -2732,6 +2746,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "asof_clicks": q_asof_clicks,
     "interval_join_clicks": q_interval_join,
+    "events_distinct_users": q_events_distinct,
     "events_sliding": q_events_sliding,
     "top_docs_per_source": q_top_docs_per_source,
     "multimodal_decode": q_multimodal_decode,
@@ -2816,6 +2831,7 @@ ORACLE_SQL = {
     "segment_revenue": _SQL_SEGMENT_REVENUE,
     "asof_clicks": _SQL_ASOF_CLICKS,
     "interval_join_clicks": _SQL_INTERVAL_JOIN,
+    "events_distinct_users": _SQL_EVENTS_DISTINCT,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,
     "multimodal_decode": _SQL_MULTIMODAL,
     "image_decode": _SQL_IMAGE_DECODE,

@@ -254,3 +254,27 @@ def tumbling_agg(
             Max("value", alias_name="max_value"),
         )
     )
+
+
+def tumbling_distinct_users(
+    events: rd.Dataset, unit: str = "hour", key: str = "event_type"
+) -> rd.Dataset:
+    """Per (tumbling window, key): event count + EXACT distinct-user
+    count — the count-distinct aggregate class (DAU/uniques). Exact by
+    a two-stage shuffle: groupby(window, key, user) collapses each
+    user to one row with their event count (combiner-friendly, skew
+    bounded by true cardinality), then a tiny groupby(window, key)
+    counts rows and sums events. The approximate scale path for
+    billion-user windows is a mergeable HLL sketch, which cannot
+    hash-match SQL and is deliberately not the conformance surface."""
+    per_user = (
+        events.map_batches(assign_tumbling(unit), batch_format="pyarrow")
+        .select_columns(["window_start", key, "user_id"])
+        .groupby(["window_start", key, "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return (
+        per_user.groupby(["window_start", key])
+        .aggregate(Count(alias_name="n_users"),
+                   Sum("n", alias_name="n_events"))
+    )

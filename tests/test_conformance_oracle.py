@@ -70,6 +70,7 @@ SUBSET = [
     "source_token_kl",
     "substring_search",
     "index_stats",
+    "events_distinct_users",
 ]
 
 
