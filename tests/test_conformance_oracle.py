@@ -204,3 +204,32 @@ def test_highlights_match_python_oracle(ray_session):
     )
     assert want, "oracle produced no highlight spans at sf0.001"
     assert have == want
+
+
+def test_normalize_matches_sequential_oracle(ray_session):
+    """The normalize entry is rows-only for the driver (the 9-step M1
+    cleaner is not SQL); pin its VALUES here instead: the distributed
+    map must equal a sequential driver-side pass of the same pinned
+    function over every doc (md5 + length per doc)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from semantic_pdf_search_engine_ray.functions.textnorm import (
+        clean_text_robust,
+    )
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["clean_md5"], r["clean_chars"])
+        for r in cf.QUERIES["normalize"](sf_dir).take_all()
+    }
+    docs = pq.read_table(cf.documents_path(sf_dir),
+                         columns=["doc_id", "text"])
+    assert len(got) == docs.num_rows
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        out = clean_text_robust(text)
+        want = (hashlib.md5(out.encode("utf-8")).hexdigest(), len(out))
+        assert got[doc_id] == want, doc_id
