@@ -1079,6 +1079,40 @@ def q_interval_join(sf_dir: str) -> rd.Dataset:
                                     window_s=INTERVAL_JOIN_WINDOW_S)
 
 
+def q_orders_no_lineitem(sf_dir: str) -> rd.Dataset:
+    """ANTI join: orders with zero lineitem rows (keys only)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    out = rel.orders_without_lineitems(orders, li)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+             "o_custkey": b.column("o_custkey").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_with_orders(sf_dir: str) -> rd.Dataset:
+    """SEMI join: customers having at least one order."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    out = rel.customers_with_orders(cust, orders)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.column("c_custkey").cast(pa.int64()),
+             "c_mktsegment": b.column("c_mktsegment")}),
+        batch_format="pyarrow",
+    )
+
+
 def q_asof_clicks(sf_dir: str) -> rd.Dataset:
     """AS-OF join: purchases attributed to the latest prior click."""
     from semantic_pdf_search_engine_ray.pipelines import relational as rel
@@ -2080,6 +2114,17 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
+_SQL_ORDERS_NO_LINEITEM = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+_SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
 INTERVAL_JOIN_WINDOW_S = 86400
 
 _SQL_INTERVAL_JOIN = f"""
@@ -2745,6 +2790,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "asof_clicks": q_asof_clicks,
+    "orders_no_lineitem": q_orders_no_lineitem,
+    "customers_with_orders": q_customers_with_orders,
     "interval_join_clicks": q_interval_join,
     "events_distinct_users": q_events_distinct,
     "events_sliding": q_events_sliding,
@@ -2830,6 +2877,8 @@ ORACLE_SQL = {
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "segment_revenue": _SQL_SEGMENT_REVENUE,
     "asof_clicks": _SQL_ASOF_CLICKS,
+    "orders_no_lineitem": _SQL_ORDERS_NO_LINEITEM,
+    "customers_with_orders": _SQL_CUSTOMERS_WITH_ORDERS,
     "interval_join_clicks": _SQL_INTERVAL_JOIN,
     "events_distinct_users": _SQL_EVENTS_DISTINCT,
     "top_docs_per_source": _SQL_TOP_DOCS_PER_SOURCE,

@@ -258,3 +258,28 @@ def interval_join_clicks(
         .groupby("user_id")
         .map_groups(pair, batch_format="pyarrow")
     )
+
+
+def orders_without_lineitems(
+    orders: rd.Dataset, lineitem: rd.Dataset, num_partitions: int = 8
+) -> rd.Dataset:
+    """ANTI-join: orders with no lineitem rows (referential-integrity
+    sweep). One hash exchange via Dataset.join left_anti — the same
+    physical plan the dedup apply family uses."""
+    return orders.join(
+        lineitem.select_columns(["l_orderkey"]).materialize(),
+        "left_anti", num_partitions,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+
+def customers_with_orders(
+    customer: rd.Dataset, orders: rd.Dataset, num_partitions: int = 8
+) -> rd.Dataset:
+    """SEMI-join: customers having at least one order (EXISTS), without
+    duplicating customer rows per order — Dataset.join left_semi."""
+    return customer.join(
+        orders.select_columns(["o_custkey"]).materialize(),
+        "left_semi", num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )

@@ -71,6 +71,8 @@ SUBSET = [
     "substring_search",
     "index_stats",
     "events_distinct_users",
+    "orders_no_lineitem",
+    "customers_with_orders",
 ]
 
 
