@@ -1079,6 +1079,18 @@ def q_interval_join(sf_dir: str) -> rd.Dataset:
                                     window_s=INTERVAL_JOIN_WINDOW_S)
 
 
+def q_profile_events(sf_dir: str) -> pa.Table:
+    """Column profile of the events table (nulls, exact distinct
+    cardinality, min/max per column)."""
+    from semantic_pdf_search_engine_ray.pipelines.profile import (
+        profile_table,
+    )
+
+    ev = rd.read_parquet(events_path(sf_dir),
+                         columns=["user_id", "event_type", "value"])
+    return profile_table(ev, ["user_id", "event_type", "value"])
+
+
 def q_orders_no_lineitem(sf_dir: str) -> rd.Dataset:
     """ANTI join: orders with zero lineitem rows (keys only)."""
     from semantic_pdf_search_engine_ray.pipelines import relational as rel
@@ -2114,6 +2126,30 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
+_SQL_PROFILE_EVENTS = """
+SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count(user_id))::BIGINT AS n_nulls,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       round(min(user_id) * 1.0, 6) AS min_num,
+       round(max(user_id) * 1.0, 6) AS max_num,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM events
+UNION ALL
+SELECT 'event_type', count(*)::BIGINT,
+       (count(*) - count(event_type))::BIGINT,
+       count(DISTINCT event_type)::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE,
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'value', count(*)::BIGINT,
+       (count(*) - count(value))::BIGINT,
+       count(DISTINCT value)::BIGINT,
+       round(min(value), 6), round(max(value), 6),
+       NULL::VARCHAR, NULL::VARCHAR
+FROM events
+"""
+
 _SQL_ORDERS_NO_LINEITEM = """
 SELECT o_orderkey, o_custkey FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
@@ -2791,6 +2827,7 @@ QUERIES = {
     "segment_revenue": q_segment_revenue,
     "asof_clicks": q_asof_clicks,
     "orders_no_lineitem": q_orders_no_lineitem,
+    "profile_events": q_profile_events,
     "customers_with_orders": q_customers_with_orders,
     "interval_join_clicks": q_interval_join,
     "events_distinct_users": q_events_distinct,
@@ -2878,6 +2915,7 @@ ORACLE_SQL = {
     "segment_revenue": _SQL_SEGMENT_REVENUE,
     "asof_clicks": _SQL_ASOF_CLICKS,
     "orders_no_lineitem": _SQL_ORDERS_NO_LINEITEM,
+    "profile_events": _SQL_PROFILE_EVENTS,
     "customers_with_orders": _SQL_CUSTOMERS_WITH_ORDERS,
     "interval_join_clicks": _SQL_INTERVAL_JOIN,
     "events_distinct_users": _SQL_EVENTS_DISTINCT,

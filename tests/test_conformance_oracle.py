@@ -73,6 +73,7 @@ SUBSET = [
     "events_distinct_users",
     "orders_no_lineitem",
     "customers_with_orders",
+    "profile_events",
 ]
 
 
