@@ -296,6 +296,29 @@ def q_substring_search(sf_dir: str) -> rd.Dataset:
     return substring_search(index_dir, tbl)
 
 
+# pinned regex set (RE2 == Python `re` semantics for these): literal
+# alternation, grouped alternation, class-separated literals, plus
+REGEX_PATTERNS = ("table (scan|sort)", "hash join|merge join",
+                  "window [a-z]+ scan", "joi+n table")
+
+
+def q_regex_search(sf_dir: str) -> rd.Dataset:
+    """Regex search via the trigram planner (Cox/Code-Search design):
+    required literal runs AND, alternation branches OR, exact re.search
+    verification on candidates."""
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        regex_search,
+    )
+
+    index_dir = _trigram_index(sf_dir)
+    tbl = pa.table({
+        "pattern_id": pa.array(range(len(REGEX_PATTERNS)),
+                               type=pa.int64()),
+        "pattern": pa.array(list(REGEX_PATTERNS), type=pa.string()),
+    })
+    return regex_search(index_dir, tbl)
+
+
 def q_source_kl(sf_dir: str) -> rd.Dataset:
     """Per-source token-distribution KL divergence vs the corpus."""
     docs = rd.read_parquet(documents_path(sf_dir),
@@ -1964,6 +1987,17 @@ SELECT p.pattern_id, d.doc_id
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_REGEX_SEARCH = """
+WITH pats(pattern_id, pat) AS (VALUES
+  (0, 'table (scan|sort)'),
+  (1, 'hash join|merge join'),
+  (2, 'window [a-z]+ scan'),
+  (3, 'joi+n table')
+)
+SELECT p.pattern_id::BIGINT AS pattern_id, d.doc_id
+FROM pats p JOIN documents d ON regexp_matches(d.text, p.pat)
+"""
+
 _SQL_SOURCE_KL = f"""
 WITH toks AS (
   SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
@@ -2782,6 +2816,7 @@ QUERIES = {
     "length_outliers": q_length_outliers,
     "source_token_kl": q_source_kl,
     "substring_search": q_substring_search,
+    "regex_search": q_regex_search,
     "index_stats": q_index_stats,
     "term_df": q_term_df,
     "term_stats": q_term_stats,
@@ -2866,6 +2901,7 @@ ORACLE_SQL = {
     "length_outliers": _SQL_LENGTH_OUTLIERS,
     "source_token_kl": _SQL_SOURCE_KL,
     "substring_search": _SQL_SUBSTRING,
+    "regex_search": _SQL_REGEX_SEARCH,
     "index_stats": _SQL_INDEX_STATS,
     "term_df": _SQL_TERM_DF,
     "term_stats": _SQL_TERM_STATS,

@@ -194,3 +194,142 @@ def substring_search(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# --------------------------------------------------------------------------
+# Regex search over the trigram index (Cox, "Regular Expression Matching
+# with a Trigram Index" — the Google Code Search design, simplified)
+# --------------------------------------------------------------------------
+
+def _literal_runs_candidates(reader: "TrigramReader", parsed):
+    """Recursive query planner: returns a sorted candidate doc-id array
+    for a parsed regex sequence, or None when the node imposes no
+    trigram constraint. Required literal runs AND together; BRANCH
+    alternatives OR together. Unsupported constructs simply contribute
+    no constraint (still sound — verification is exact)."""
+    import re._constants as c
+
+    cand = None  # None = unconstrained so far
+
+    def add_and(arr):
+        nonlocal cand
+        if arr is None:
+            return
+        cand = arr if cand is None else cand[
+            np.isin(cand, arr, assume_unique=True)]
+
+    run: list[str] = []
+
+    def close_run():
+        nonlocal run
+        lit = "".join(run)
+        run = []
+        if len(lit) >= MIN_PATTERN_LEN:
+            add_and(reader.candidates(lit))
+
+    for op, av in parsed:
+        if op is c.LITERAL:
+            run.append(chr(av))
+        elif op is c.BRANCH:
+            close_run()
+            union = None
+            for branch in av[1]:
+                b = _literal_runs_candidates(reader, branch)
+                if b is None:
+                    union = None  # one unconstrained branch -> no info
+                    break
+                union = b if union is None else np.union1d(union, b)
+            add_and(union)
+        elif op is c.SUBPATTERN:
+            close_run()
+            add_and(_literal_runs_candidates(reader, av[3]))
+        elif op is c.MAX_REPEAT and av[0] >= 1:
+            body = list(av[2])
+            if len(body) == 1 and body[0][0] is c.LITERAL:
+                # x+ requires at least one x: extend the current run by
+                # one copy, then break (repetition severs adjacency
+                # with whatever follows)
+                run.append(chr(body[0][1]))
+                close_run()
+            else:
+                # at least one occurrence required: analyze body once
+                close_run()
+                add_and(_literal_runs_candidates(reader, av[2]))
+        else:
+            # dot, classes, anchors, optional repeats... break the run
+            close_run()
+    close_run()
+    return cand
+
+
+class _RegexMixin:
+    def regex_candidates(self, pattern: str) -> np.ndarray:
+        """Sorted doc-id superset for a regex: ANDed trigrams of every
+        required literal run, OR across alternation branches. Raises if
+        the pattern has no required literal of >= 3 chars anywhere (a
+        corpus scan in disguise — same refusal as short substrings)."""
+        import re._parser as sre_parse
+
+        cand = _literal_runs_candidates(self, sre_parse.parse(pattern))
+        if cand is None:
+            raise ValueError(
+                "regex has no required literal of >= "
+                f"{MIN_PATTERN_LEN} chars; refusing the full-corpus scan")
+        return cand
+
+    def regex_search(self, pattern: str) -> list[int]:
+        """Exact regex match (re.search semantics): trigram-planned
+        candidates verified against the candidate docs' raw text."""
+        import re as _re
+
+        cand = self.regex_candidates(pattern)
+        if cand.size == 0:
+            return []
+        rx = _re.compile(pattern)
+        t = pads.dataset(self.docs_path).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(cand.tolist()),
+        )
+        return sorted(
+            d for d, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist())
+            if rx.search(txt)
+        )
+
+
+# graft the mixin (kept separate for readability above)
+TrigramReader.regex_candidates = _RegexMixin.regex_candidates
+TrigramReader.regex_search = _RegexMixin.regex_search
+
+
+class RegexQueryActor:
+    """Actor-pool stage: (pattern_id, pattern) -> (pattern_id, doc_id)
+    regex matches through the trigram planner."""
+
+    def __init__(self, index_dir: str):
+        self.reader = TrigramReader(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids: list[int] = []
+        docs: list[int] = []
+        for pid, pat in zip(batch.column("pattern_id").to_pylist(),
+                            batch.column("pattern").to_pylist()):
+            for d in self.reader.regex_search(pat):
+                pids.append(pid)
+                docs.append(d)
+        return pa.table(
+            {"pattern_id": pa.array(pids, type=pa.int64()),
+             "doc_id": pa.array(docs, type=pa.int64())}
+        )
+
+
+def regex_search(
+    index_dir: str, patterns: pa.Table, concurrency: int = 2,
+) -> rd.Dataset:
+    """(pattern_id, pattern) table -> (pattern_id, doc_id) matches."""
+    return rd.from_arrow(patterns).map_batches(
+        RegexQueryActor,
+        fn_constructor_args=(index_dir,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

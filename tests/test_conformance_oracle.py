@@ -74,6 +74,7 @@ SUBSET = [
     "orders_no_lineitem",
     "customers_with_orders",
     "profile_events",
+    "regex_search",
 ]
 
 

@@ -185,3 +185,43 @@ def test_trigram_substring_index_contract(ray_session, tmp_path):
     # rebuild is a no-op (manifest committed)
     build_trigram_index(path, idx, input_lineage={"t": "tri-test"})
     assert TrigramReader(idx).search("brown fox") == [0, 1]
+
+
+def test_regex_planner_contract(ray_session, tmp_path):
+    """Regex-over-trigram planner: alternation ORs, literal runs AND,
+    min>=1 repeats keep their first copy in the run, unconstrained
+    patterns are refused, verification is exact re.search."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        TrigramReader,
+        build_trigram_index,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "hash join fast", "merge join slow", "nested loop join",
+            "window scan table", "window table scan",
+        ]),
+    })
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    idx = str(tmp_path / "tri")
+    build_trigram_index(path, idx, input_lineage={"t": "rx"})
+    r = TrigramReader(idx)
+
+    assert r.regex_search("hash join|merge join") == [0, 1]
+    assert r.regex_search("(hash|merge) join") == [0, 1]
+    assert r.regex_search("window [a-z]+ scan") == [4]
+    assert r.regex_search("joi+n") == [0, 1, 2]
+    assert r.regex_search("^hash") == [0]
+    assert r.regex_search("windows? scan") == [3]
+    assert r.regex_search("hash.*fast") == [0]
+    with _pytest.raises(ValueError):
+        r.regex_search("[a-z]+")  # no required literal -> refused
+    # planner candidates are always a superset of true matches
+    cand = set(r.regex_candidates("window [a-z]+ scan").tolist())
+    assert {3, 4} <= cand  # both contain 'window' and ' scan'
