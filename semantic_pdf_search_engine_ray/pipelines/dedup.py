@@ -1198,10 +1198,15 @@ def hashed_text_dup_pairs(
         hashed_tfidf,
     )
 
+    import shutil
+
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     dense = hashed_tfidf(docs, dim=dim, dense=True)
     tmp = tempfile.mkdtemp(prefix="spse_hashvec_", dir="/tmp")
-    dense.write_parquet(tmp)
-    out = embedding_dup_pairs(tmp, threshold=threshold,
-                              id_col="doc_id", emb_col="embedding")
+    try:
+        dense.write_parquet(tmp)
+        out = embedding_dup_pairs(tmp, threshold=threshold,
+                                  id_col="doc_id", emb_col="embedding")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out.rename_columns(["doc_id_a", "doc_id_b", "cosine"])
