@@ -333,3 +333,74 @@ def regex_search(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# --------------------------------------------------------------------------
+# Sharded trigram layout (the multi-node story for the substring family)
+# --------------------------------------------------------------------------
+
+def build_sharded_trigram_index(
+    docs_path: str | list[str], root_dir: str, n_shards: int,
+    input_lineage: dict | None = None,
+) -> dict:
+    """Doc-range-sharded trigram index: docs split by doc_id range, one
+    independent (resumable) trigram sub-index per range. Substring /
+    regex semantics carry NO corpus statistics, so sharded answers are
+    exactly the union of per-shard answers — no global dictionary or
+    pinned constants to maintain (simpler than the BM25 shards)."""
+    import pyarrow.dataset as _pads
+
+    os.makedirs(root_dir, exist_ok=True)
+    if not mf.is_ready(root_dir):
+        ids = _pads.dataset(docs_path).to_table(columns=["doc_id"]) \
+            .column("doc_id").to_numpy()
+        lo, hi = (int(ids.min()), int(ids.max())) if len(ids) else (0, 0)
+        span = max(hi - lo + 1, 1)
+        bounds = [lo + (s * span) // n_shards for s in range(n_shards + 1)]
+        shards = []
+        for s in range(n_shards):
+            sub_docs = os.path.join(root_dir, f"docs_{s:05d}")
+            os.makedirs(sub_docs, exist_ok=True)
+            t = _pads.dataset(docs_path).to_table(
+                columns=["doc_id", "text"],
+                filter=(_pads.field("doc_id") >= bounds[s])
+                & (_pads.field("doc_id") < bounds[s + 1]),
+            )
+            pq.write_table(t, os.path.join(sub_docs, "docs.parquet"))
+            sdir = os.path.join(root_dir, f"shard_{s:05d}")
+            build_trigram_index(
+                os.path.join(sub_docs, "docs.parquet"), sdir,
+                input_lineage={"root": root_dir, "shard": s,
+                               **(input_lineage or {})},
+            )
+            shards.append(os.path.basename(sdir))
+        mf.commit_manifest(root_dir, {
+            "layout": "trigram_sharded_v1",
+            "n_shards": n_shards,
+            "shards": shards,
+        })
+    return mf.load_manifest(root_dir)
+
+
+class ShardedTrigramReader:
+    """Union-of-shards substring/regex reader: every query visits every
+    shard reader (the owner-tier shape); results are disjoint by
+    doc-range construction, so the merge is a plain sorted union."""
+
+    def __init__(self, root_dir: str):
+        m = mf.load_manifest(root_dir)
+        self.readers = [
+            TrigramReader(os.path.join(root_dir, s)) for s in m["shards"]
+        ]
+
+    def search(self, pattern: str) -> list[int]:
+        out: list[int] = []
+        for r in self.readers:
+            out.extend(r.search(pattern))
+        return sorted(out)
+
+    def regex_search(self, pattern: str) -> list[int]:
+        out: list[int] = []
+        for r in self.readers:
+            out.extend(r.regex_search(pattern))
+        return sorted(out)

@@ -225,3 +225,41 @@ def test_regex_planner_contract(ray_session, tmp_path):
     # planner candidates are always a superset of true matches
     cand = set(r.regex_candidates("window [a-z]+ scan").tolist())
     assert {3, 4} <= cand  # both contain 'window' and ' scan'
+
+
+def test_sharded_trigram_matches_monolithic(ray_session, tmp_path):
+    """Sharded trigram layout: union-of-shards answers are identical to
+    the monolithic reader for both substring and regex queries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        ShardedTrigramReader,
+        TrigramReader,
+        build_sharded_trigram_index,
+        build_trigram_index,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(12)), type=pa.int64()),
+        "text": pa.array([
+            f"doc {i} shared boilerplate phrase alpha{i % 3}"
+            for i in range(12)
+        ]),
+    })
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    mono = str(tmp_path / "mono")
+    build_trigram_index(path, mono, input_lineage={"t": "m"})
+    root = str(tmp_path / "root")
+    m = build_sharded_trigram_index(path, root, n_shards=3,
+                                    input_lineage={"t": "s"})
+    assert m["n_shards"] == 3
+    rm = TrigramReader(mono)
+    rs = ShardedTrigramReader(root)
+    for pat in ("boilerplate phrase", "alpha1", "doc 7", "zzz-none"):
+        assert rs.search(pat) == rm.search(pat), pat
+    for rx in ("alpha(0|2)", "doc [0-9]+ shared"):
+        assert rs.regex_search(rx) == rm.regex_search(rx), rx
+    # every doc landed in exactly one shard
+    assert sum(len(r.search("boilerplate")) for r in rs.readers) == 12
