@@ -200,7 +200,9 @@ def run_bench() -> dict:
                  "global_line_dedup", "bigram_logprob", "hashed_tfidf",
                  "source_cap_sample", "bm25_tombstoned",
                  "facet_counts", "substring_search", "source_token_kl",
-                 "interval_join_clicks"):
+                 "interval_join_clicks",
+                 # round-3 wave 3
+                 "shipping_priority", "revenue_forecast", "split_assign"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

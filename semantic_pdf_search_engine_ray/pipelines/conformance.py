@@ -2801,6 +2801,87 @@ SELECT doc_id, j::BIGINT AS frame_idx, nf::BIGINT AS n_frames,
 FROM idx WHERE j % 2 = 0
 """
 
+
+# --- round-3 wave 3: TPC-H Q3/Q6 shapes + deterministic split ---------
+
+def q_revenue_forecast(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape: filter-only discount-revenue sum (no shuffle)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+    return rel.revenue_forecast(li)
+
+
+def q_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3 shape: 3-table join -> grouped revenue -> pinned top-10."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+    lineitem = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_extendedprice",
+                                        "l_discount", "l_shipdate"])
+    return rel.shipping_priority(customer, orders, lineitem)
+
+
+def q_split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash train/val/test assignment over documents."""
+    from semantic_pdf_search_engine_ray.pipelines import sampling as smp
+
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    return smp.split_assign(docs)
+
+
+_SQL_REVENUE_FORECAST = """
+SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                         AS BIGINT)), 0)::BIGINT AS revenue_c,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, revenue_c, o_orderdate, o_orderpriority FROM (
+  SELECT l.l_orderkey AS l_orderkey,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000
+                        + 0.5) AS BIGINT))::BIGINT AS revenue_c,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+    AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+ORDER BY revenue_c DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+_SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(md5_number_lower('split:' || doc_id::VARCHAR) % 100
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_classes": q_token_classes,
@@ -2884,6 +2965,9 @@ QUERIES = {
     "decontaminate_apply": q_decontaminate_apply,
     "quality_filter": q_quality_filter,
     "curation_report": q_curation_report,
+    "revenue_forecast": q_revenue_forecast,
+    "shipping_priority": q_shipping_priority,
+    "split_assign": q_split_assign,
 }
 
 ORACLE_SQL = {
@@ -2974,6 +3058,9 @@ ORACLE_SQL = {
     "curation_report": _SQL_CURATION_REPORT_TMPL.format(
         quality_filter_sql=_SQL_QUALITY_FILTER
     ),
+    "revenue_forecast": _SQL_REVENUE_FORECAST,
+    "shipping_priority": _SQL_SHIPPING_PRIORITY,
+    "split_assign": _SQL_SPLIT_ASSIGN,
     # rows-only (non-SQL-expressible): chunks, normalize, highlights
     # (pure-Python value oracle in tests/test_conformance_oracle.py),
     # ann_ivf_pruned (approximate by design; full-probe IVF is

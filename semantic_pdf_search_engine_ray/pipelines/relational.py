@@ -283,3 +283,117 @@ def customers_with_orders(
         "left_semi", num_partitions,
         on=("c_custkey",), right_on=("o_custkey",),
     )
+
+
+Q3_CUTOFF = "1998-06-01 00:00:00"  # mid-range: both date filters selective, non-empty
+Q6_YEAR_LO = "1997-01-01 00:00:00"
+Q6_YEAR_HI = "1998-01-01 00:00:00"
+
+
+def _ts(s: str) -> "pa.Scalar":
+    return pa.scalar(np.datetime64(s.replace(" ", "T"), "us"))
+
+
+def revenue_forecast(lineitem: rd.Dataset) -> pa.Table:
+    """TPC-H Q6 shape: total discount revenue over one shipdate year for
+    mid-band discounts (integer cents, floor(x*100+0.5) in [5,7]) and
+    small quantities (< 24). Pure map-side filter + one global sum — no
+    shuffle at all; at 100 TB this is the cheapest possible plan (the
+    shipdate/discount/quantity filters belong in the parquet row-group
+    predicate at a real deployment).
+
+    Discount band is compared in INTEGER cents on both sides (engine and
+    SQL oracle) so IEEE representation of 0.05/0.07 can never flip a
+    row's membership."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate")
+        mask = pc.and_(pc.greater_equal(ship, _ts(Q6_YEAR_LO)),
+                       pc.less(ship, _ts(Q6_YEAR_HI)))
+        batch = batch.filter(mask)
+        disc = batch.column("l_discount").to_numpy()
+        disc_c = _cents(disc, 100)
+        qty = batch.column("l_quantity").to_numpy()
+        keep = (disc_c >= 5) & (disc_c <= 7) & (qty < 24.0)
+        price = batch.column("l_extendedprice").to_numpy()[keep]
+        # price(2dp) * discount(2dp) -> exact at 4 decimals
+        return pa.table({"rev_c": pa.array(_cents(price * disc[keep], 10_000))})
+
+    d = lineitem.map_batches(derive, batch_format="pyarrow")
+    agg = d.aggregate(Sum("rev_c", alias_name="revenue_c"),
+                      Count(alias_name="n_items"))
+    rev = agg.get("revenue_c")
+    return pa.table({
+        "revenue_c": pa.array([int(rev or 0)], type=pa.int64()),
+        "n_items": pa.array([int(agg.get("n_items") or 0)], type=pa.int64()),
+    })
+
+
+def shipping_priority(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    segment: str = "BUILDING",
+    k: int = 10,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """TPC-H Q3 shape: top-k unshipped orders of one market segment by
+    discounted revenue. Plan (scale-ordered): filter BOTH fact sides at
+    the map (o_orderdate < D before the join, l_shipdate > D before the
+    join — at 100 TB these predicates drop most row groups at the read);
+    SEMI-join orders against the segment's customers (customer keys only
+    cross the wire, no payload duplication); inner hash join lineitem ->
+    surviving orders on orderkey; integer-cents grouped sum; global sort
+    is over the aggregated (orders-sized, post-filter tiny) table only.
+
+    Tie-break pinned: (revenue_c DESC, o_orderdate ASC, l_orderkey ASC),
+    mirrored in the SQL oracle so the top-k SET is deterministic."""
+    cutoff = _ts(Q3_CUTOFF)
+
+    seg_cust = customer.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), cutoff))
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"])
+
+    ords = (
+        orders.map_batches(open_orders, batch_format="pyarrow")
+        .join(seg_cust, "left_semi", num_partitions,
+              on=("o_custkey",), right_on=("c_custkey",))
+    )
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "rev_c": pa.array(_cents(price * (1.0 - disc), 10_000)),
+        })
+
+    joined = (
+        lineitem.map_batches(li_cents, batch_format="pyarrow")
+        .join(ords.materialize(), "inner", num_partitions,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    )
+    top = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .sort(["revenue_c", "o_orderdate", "l_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+    return top.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "revenue_c": t.column("revenue_c").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+        }),
+        batch_format="pyarrow",
+    )

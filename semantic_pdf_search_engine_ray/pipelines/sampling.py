@@ -132,3 +132,37 @@ def capped_per_group_sample(
         .groupby(group_col)
         .map_groups(final_prune, batch_format="pyarrow")
     )
+
+
+def split_assign(
+    docs: rd.Dataset,
+    pcts: tuple[int, int, int] = (80, 10, 10),
+    key_col: str = "doc_id",
+    salt: str = "split:",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment — the canonical last step
+    of a training-data pipeline. bucket = md5_low64(salt+key) % 100;
+    [0,train) -> 'train', [train,train+val) -> 'val', rest -> 'test'.
+
+    Pure map-side (no shuffle, no driver state), parallelism- and
+    rerun-invariant, and content-keyed so re-ingesting the same corpus
+    reproduces the same split — the property that keeps eval sets
+    uncontaminated across pipeline reruns. Mirrored exactly by the SQL
+    oracle via ``md5_number_lower(salt || key) % 100``."""
+    train, val, test = pcts
+    if train + val + test != 100 or min(pcts) < 0:
+        raise ValueError("pcts must be non-negative and sum to 100")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        b = np.fromiter((md5_hash64(f"{salt}{k}") % 100 for k in keys),
+                        dtype=np.int64, count=len(keys))
+        split = np.where(b < train, "train",
+                         np.where(b < train + val, "val", "test"))
+        return pa.table({
+            key_col: batch.column(key_col).cast(pa.int64()),
+            "bucket": pa.array(b, type=pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow")

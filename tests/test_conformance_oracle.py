@@ -75,6 +75,9 @@ SUBSET = [
     "customers_with_orders",
     "profile_events",
     "regex_search",
+    "revenue_forecast",
+    "shipping_priority",
+    "split_assign",
 ]
 
 

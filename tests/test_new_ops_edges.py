@@ -165,3 +165,77 @@ def test_curation_report_null_source_is_a_group(ray_session):
     by_src = {r["source"]: r for r in out.to_pylist()}
     assert by_src["web"]["n_docs"] == 2
     assert by_src[None]["n_docs"] == 1
+
+
+# --- round-3 wave 3: TPC-H Q3/Q6 + deterministic split ----------------
+
+def test_split_assign_contract(ray_session):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.sampling import split_assign
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1000)), type=pa.int64()),
+    }))
+    out = split_assign(docs).to_pandas()
+    assert len(out) == 1000
+    frac = out["split"].value_counts(normalize=True)
+    # hash buckets over 1000 keys: proportions near 80/10/10
+    assert abs(frac["train"] - 0.80) < 0.05
+    assert abs(frac["val"] - 0.10) < 0.04
+    assert abs(frac["test"] - 0.10) < 0.04
+    # parallelism invariance: same assignment regardless of block count
+    out8 = split_assign(docs.repartition(8)).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out8.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"].values == b["split"].values).all()
+    with pytest.raises(ValueError):
+        split_assign(docs, pcts=(90, 5, 10))
+
+
+def test_revenue_forecast_empty_filter(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.relational import (
+        revenue_forecast,
+    )
+
+    # every row outside the shipdate year -> zero revenue, zero items
+    li = rd.from_arrow(pa.table({
+        "l_shipdate": pa.array(
+            [np.datetime64("1995-01-01T00:00:00", "us")] * 3),
+        "l_discount": pa.array([0.05, 0.06, 0.07]),
+        "l_quantity": pa.array([1.0, 2.0, 3.0]),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+    }))
+    out = revenue_forecast(li)
+    assert out.column("revenue_c").to_pylist() == [0]
+    assert out.column("n_items").to_pylist() == [0]
+
+
+def test_shipping_priority_parallelism_invariant(ray_session):
+    import os
+
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.relational import (
+        shipping_priority,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    def load(n_parts):
+        c = rd.read_parquet(os.path.join(sf, "customer.parquet"),
+                            columns=["c_custkey", "c_mktsegment"])
+        o = rd.read_parquet(os.path.join(sf, "orders.parquet"),
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_orderpriority"])
+        l = rd.read_parquet(os.path.join(sf, "lineitem.parquet"),
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_shipdate"])
+        if n_parts:
+            c, o, l = (d.repartition(n_parts) for d in (c, o, l))
+        return shipping_priority(c, o, l).to_pandas()
+
+    a = load(0).reset_index(drop=True)
+    b = load(7).reset_index(drop=True)
+    assert len(a) == 10
+    assert (a["l_orderkey"].values == b["l_orderkey"].values).all()
+    assert (a["revenue_c"].values == b["revenue_c"].values).all()
