@@ -202,7 +202,8 @@ def run_bench() -> dict:
                  "facet_counts", "substring_search", "source_token_kl",
                  "interval_join_clicks",
                  # round-3 wave 3
-                 "shipping_priority", "revenue_forecast", "split_assign"):
+                 "shipping_priority", "revenue_forecast", "split_assign",
+                 "bm25_must_not"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -442,7 +442,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=5)
     q.add_argument("--method", default="auto",
-                   choices=["auto", "wand", "exhaustive", "conjunctive"])
+                   choices=["auto", "wand", "exhaustive", "conjunctive",
+                            "boolean"])
 
     qb = sub.add_parser("query-batch", parents=[common],
                         help="queries parquet -> results")
@@ -541,6 +542,7 @@ def main(argv: list[str] | None = None) -> int:
                 "wand": reader.top_k_wand,
                 "exhaustive": reader.top_k_exhaustive,
                 "conjunctive": reader.top_k_conjunctive,
+                "boolean": reader.top_k_boolean,
             }[args.method](args.query, args.k)
         for rank, (doc_id, score) in enumerate(hits, start=1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))

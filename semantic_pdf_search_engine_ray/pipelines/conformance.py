@@ -2831,6 +2831,26 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
     return rel.shipping_priority(customer, orders, lineitem)
 
 
+def q_bm25_must_not(sf_dir: str) -> pa.Table:
+    """Boolean MUST/MUST-NOT: adjacent head-term pairs as ``a -b`` —
+    rank on the first term, exclude every doc containing the second
+    (stats stay full-corpus; exclusion is a ranking mask only)."""
+    index_dir = ensure_index(sf_dir)
+    pairs = pair_query_table(index_dir)
+    toks = [q.split() for q in pairs.column("query").to_pylist()]
+    queries = pa.table({
+        "query_id": pairs.column("query_id"),
+        "query": pa.array([f"{a} -{b}" for a, b in toks],
+                          type=pa.string()),
+    })
+    res = _collect(run_queries(index_dir, rd.from_arrow(queries), CFG,
+                               k=TOP_K, method="boolean"))
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "score_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def q_split_assign(sf_dir: str) -> rd.Dataset:
     """Deterministic hash train/val/test assignment over documents."""
     from semantic_pdf_search_engine_ray.pipelines import sampling as smp
@@ -2866,6 +2886,33 @@ SELECT l_orderkey, revenue_c, o_orderdate, o_orderpriority FROM (
 )
 ORDER BY revenue_c DESC, o_orderdate, l_orderkey
 LIMIT 10
+"""
+
+_SQL_BM25_MUST_NOT = f"""
+WITH {_TOKS_CTE},
+qpairs AS (
+  SELECT a.r::BIGINT AS query_id, a.term AS pos_term, b.term AS neg_term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qp.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qpairs qp
+  JOIN tf ON tf.term = qp.pos_term
+  JOIN df ON df.term = qp.pos_term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM tf t2
+                    WHERE t2.doc_id = tf.doc_id
+                      AND t2.term = qp.neg_term)
+  GROUP BY qp.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         round(score, 6) AS score_r
+  FROM scores
+) WHERE rank <= {TOP_K}
 """
 
 _SQL_SPLIT_ASSIGN = """
@@ -2965,6 +3012,7 @@ QUERIES = {
     "decontaminate_apply": q_decontaminate_apply,
     "quality_filter": q_quality_filter,
     "curation_report": q_curation_report,
+    "bm25_must_not": q_bm25_must_not,
     "revenue_forecast": q_revenue_forecast,
     "shipping_priority": q_shipping_priority,
     "split_assign": q_split_assign,
@@ -3058,6 +3106,7 @@ ORACLE_SQL = {
     "curation_report": _SQL_CURATION_REPORT_TMPL.format(
         quality_filter_sql=_SQL_QUALITY_FILTER
     ),
+    "bm25_must_not": _SQL_BM25_MUST_NOT,
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,

@@ -460,6 +460,30 @@ class IndexReader:
         order = np.lexsort((common, -scores))[:k]
         return [(int(common[i]), float(scores[i])) for i in order]
 
+    def top_k_boolean(self, query: str, k: int) -> list[tuple[int, float]]:
+        """MUST / MUST-NOT boolean search (the Lucene BooleanQuery /
+        Google minus-operator shape): whitespace tokens prefixed ``-``
+        are negated — any doc containing ANY negated term is excluded
+        from ranking; the remaining tokens score as ordinary disjunctive
+        BM25. Exclusion composes as a doc mask on the dense scorer, so
+        stats (idf, avgdl) stay full-corpus — only ranking is masked
+        (same contract as tombstones and doc-subset filters)."""
+        raw = query.split()
+        neg = " ".join(t[1:] for t in raw if t.startswith("-") and len(t) > 1)
+        pos = " ".join(t for t in raw if not t.startswith("-"))
+        if not pos:
+            return []
+        allowed = None
+        neg_terms = query_terms(neg)
+        if neg_terms:
+            excluded = np.zeros(len(self.doc_len), dtype=bool)
+            for t in neg_terms:
+                if int(self.df.get(t, 0)) > 0:
+                    ids, _ = self._term_postings(t)
+                    excluded[ids] = True
+            allowed = ~excluded
+        return self.top_k_exhaustive(pos, k, allowed=allowed)
+
     def top_k_filtered(
         self, query: str, k: int, allowed: np.ndarray
     ) -> list[tuple[int, float]]:
@@ -663,6 +687,7 @@ class QueryActor:
                 "wand": self.reader.top_k_wand,
                 "exhaustive": self.reader.top_k_exhaustive,
                 "conjunctive": self.reader.top_k_conjunctive,
+                "boolean": self.reader.top_k_boolean,
             }[method]
             self._prefix_fn = self.reader.top_k_prefix
 

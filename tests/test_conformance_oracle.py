@@ -78,6 +78,7 @@ SUBSET = [
     "revenue_forecast",
     "shipping_priority",
     "split_assign",
+    "bm25_must_not",
 ]
 
 

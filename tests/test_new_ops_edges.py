@@ -239,3 +239,23 @@ def test_shipping_priority_parallelism_invariant(ray_session):
     assert len(a) == 10
     assert (a["l_orderkey"].values == b["l_orderkey"].values).all()
     assert (a["revenue_c"].values == b["revenue_c"].values).all()
+
+
+def test_boolean_must_not_contract(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir = cf.ensure_index("/root/testdata/sf0.001")
+    r = IndexReader(index_dir)
+    head = cf.derive_query_table(index_dir).column("query").to_pylist()
+    a, b = head[0], head[1]
+    # only negations -> no positive terms -> empty
+    assert r.top_k_boolean(f"-{a}", 5) == []
+    # unknown negated term excludes nothing
+    assert r.top_k_boolean(f"{a} -zzzznotaterm", 5) == \
+        r.top_k_exhaustive(a, 5)
+    # every surviving hit must NOT contain the negated term
+    excluded_ids = set(r._term_postings(b)[0].tolist())
+    hits = r.top_k_boolean(f"{a} -{b}", 20)
+    assert hits, "positive head term must match something"
+    assert all(d not in excluded_ids for d, _ in hits)
