@@ -1301,6 +1301,15 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
     return dd.contamination_hits(read_docs(sf_dir), benchmark_mod=7, n=13)
 
 
+def q_decontaminate_bloom(sf_dir: str) -> rd.Dataset:
+    """Bloom-prefiltered decontamination: identical output contract to
+    ``decontaminate`` (no false negatives; Bloom positives are exactly
+    confirmed), so it shares that entry's SQL oracle — the pairing IS
+    the proof the scale path loses nothing."""
+    return dd.contamination_hits_bloom(read_docs(sf_dir),
+                                       benchmark_mod=7, n=13)
+
+
 def q_audio_features(sf_dir: str) -> rd.Dataset:
     """REAL audio decode: a deterministic PCM WAV is encoded per doc
     (functions/wav.py) and fully decoded back — RIFF chunk walk, PCM
@@ -3013,6 +3022,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "curation_report": q_curation_report,
     "bm25_must_not": q_bm25_must_not,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "revenue_forecast": q_revenue_forecast,
     "shipping_priority": q_shipping_priority,
     "split_assign": q_split_assign,
@@ -3107,6 +3117,7 @@ ORACLE_SQL = {
         quality_filter_sql=_SQL_QUALITY_FILTER
     ),
     "bm25_must_not": _SQL_BM25_MUST_NOT,
+    "decontaminate_bloom": _SQL_DECONTAMINATE,
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,

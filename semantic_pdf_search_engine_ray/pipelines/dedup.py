@@ -37,10 +37,12 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -1210,3 +1212,121 @@ def hashed_text_dup_pairs(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.rename_columns(["doc_id_a", "doc_id_b", "cosine"])
+
+
+def contamination_hits_bloom(
+    docs: rd.Dataset,
+    benchmark_mod: int = 7,
+    n: int = 13,
+    bits_per_elem: int = 12,
+    n_hashes: int = 7,
+    spill_dir: str | None = None,
+) -> rd.Dataset:
+    """``contamination_hits`` with the web-scale broadcast shape: the
+    benchmark n-gram set ships as a BLOOM FILTER (a numpy bit array,
+    ~1.5 bytes/n-gram at 12 bits + 7 hashes => fp ~ 5e-3) instead of the
+    full string set, and a doc only touches the EXACT set — loaded once
+    per actor from a parquet spill — when the Bloom proposes at least
+    one candidate n-gram. Bloom filters have no false negatives, so the
+    confirmed output is byte-identical to ``contamination_hits`` (same
+    SQL oracle); false positives only cost a bounded amount of exact
+    re-checking. At a 10^12-doc corpus the bit array is what makes the
+    per-worker broadcast feasible (GBs of strings -> tens of MBs of
+    bits), and the spill file is read only by the tiny contaminated
+    fraction of tasks.
+
+    Double hashing (Kirsch-Mitzenmacher): idx_i = (h1 + i*h2) mod m with
+    h1/h2 = the two 64-bit halves of md5 — k independent-enough probes
+    from one digest."""
+    import hashlib as _hashlib
+
+    from semantic_pdf_search_engine_ray.functions.shingle import (
+        word_ngram_strings,
+    )
+
+    def bench_ngrams(batch: pa.Table) -> pa.Table:
+        ngs: set[str] = set()
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % benchmark_mod == 0:
+                ngs.update(word_ngram_strings(t, n))
+        return pa.table({"ng": pa.array(sorted(ngs), type=pa.string())})
+
+    parts = ray.get(
+        docs.map_batches(bench_ngrams, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    bench: set[str] = set()
+    for p in parts:
+        if "ng" in p.schema.names:
+            bench.update(p.column("ng").to_pylist())
+
+    # exact set spills to parquet; only Bloom-positive tasks read it
+    if spill_dir is None:
+        spill_dir = f"/tmp/spse_decontam_bloom_{os.getpid()}"
+    os.makedirs(spill_dir, exist_ok=True)
+    spill_path = os.path.join(spill_dir, "bench_ngrams.parquet")
+    pq.write_table(
+        pa.table({"ng": pa.array(sorted(bench), type=pa.string())}),
+        spill_path,
+    )
+
+    m_bits = 1 << max(10, int(np.ceil(np.log2(
+        max(1, len(bench)) * bits_per_elem))))
+    mask = m_bits - 1
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def _probes(g: str) -> np.ndarray:
+        dig = _hashlib.md5(g.encode("utf-8")).digest()
+        h1 = int.from_bytes(dig[:8], "little")
+        h2 = int.from_bytes(dig[8:], "little") | 1
+        return np.array(
+            [(h1 + i * h2) & mask for i in range(n_hashes)],
+            dtype=np.int64,
+        )
+
+    for g in bench:
+        idx = _probes(g)
+        np.bitwise_or.at(bloom, idx >> 3,
+                         np.left_shift(1, idx & 7).astype(np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    class BloomConfirm:
+        """Actor-pool stage: Bloom gate in the hot loop; the exact
+        n-gram set is loaded lazily, once, on the first confirmed
+        candidate this actor sees."""
+
+        def __init__(self) -> None:
+            self.bloom = ray.get(bloom_ref)
+            self.exact: set[str] | None = None
+
+        def _maybe(self, g: str) -> bool:
+            idx = _probes(g)
+            bits = self.bloom[idx >> 3] >> (idx & 7).astype(np.uint8)
+            return bool(np.all(bits & 1))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_ids, out_n = [], []
+            for d, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                if d % benchmark_mod == 0:
+                    continue
+                cands = {g for g in word_ngram_strings(t, n)
+                         if self._maybe(g)}
+                if not cands:
+                    continue
+                if self.exact is None:
+                    self.exact = set(
+                        pq.read_table(spill_path).column("ng").to_pylist()
+                    )
+                shared = cands & self.exact
+                if shared:
+                    out_ids.append(d)
+                    out_n.append(len(shared))
+            return pa.table(
+                {"doc_id": pa.array(out_ids, type=pa.int64()),
+                 "n_contaminated": pa.array(out_n, type=pa.int64())}
+            )
+
+    return docs.map_batches(BloomConfirm, batch_format="pyarrow",
+                            concurrency=2)

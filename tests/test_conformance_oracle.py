@@ -79,6 +79,7 @@ SUBSET = [
     "shipping_priority",
     "split_assign",
     "bm25_must_not",
+    "decontaminate_bloom",
 ]
 
 

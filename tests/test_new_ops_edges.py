@@ -259,3 +259,28 @@ def test_boolean_must_not_contract(ray_session):
     hits = r.top_k_boolean(f"{a} -{b}", 20)
     assert hits, "positive head term must match something"
     assert all(d not in excluded_ids for d, _ in hits)
+
+
+def test_decontaminate_bloom_equals_exact(ray_session, tmp_path):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines import dedup as dd
+
+    # doc 0 is "benchmark" (mod 7); docs 3 and 5 share its 13-gram;
+    # doc 1 is clean
+    phrase = " ".join(f"w{i}" for i in range(13))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 3, 5], type=pa.int64()),
+        "text": pa.array([
+            f"intro {phrase} outro",
+            "totally unrelated text with many words here",
+            f"prefix {phrase} suffix",
+            f"{phrase}",
+        ], type=pa.string()),
+    }))
+    exact = dd.contamination_hits(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = dd.contamination_hits_bloom(
+        docs, spill_dir=str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert exact.equals(bloom)
+    assert set(bloom["doc_id"]) == {3, 5}
