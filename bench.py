@@ -203,7 +203,8 @@ def run_bench() -> dict:
                  "interval_join_clicks",
                  # round-3 wave 3
                  "shipping_priority", "revenue_forecast", "split_assign",
-                 "bm25_must_not", "decontaminate_bloom"):
+                 "bm25_must_not", "decontaminate_bloom",
+                 "link_degrees", "pagerank"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2860,6 +2860,24 @@ def q_bm25_must_not(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def q_link_degrees(sf_dir: str) -> rd.Dataset:
+    """Link-graph degree table over the deterministic hash edge set."""
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    return gr.degree_table(docs, n_docs=docs.count())
+
+
+def q_pagerank(sf_dir: str) -> rd.Dataset:
+    """Fixed-point integer PageRank, 5 power-iteration rounds as
+    Dataset join + groupby exchanges (bit-identical to the SQL mirror
+    by construction — all-integer update rule)."""
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    return gr.pagerank(docs, n_docs=docs.count(), n_iters=5)
+
+
 def q_split_assign(sf_dir: str) -> rd.Dataset:
     """Deterministic hash train/val/test assignment over documents."""
     from semantic_pdf_search_engine_ray.pipelines import sampling as smp
@@ -2923,6 +2941,13 @@ SELECT query_id, rank, doc_id, score_r FROM (
   FROM scores
 ) WHERE rank <= {TOP_K}
 """
+
+from semantic_pdf_search_engine_ray.pipelines.graph import (
+    DEGREE_ORACLE_SQL as _GRAPH_DEGREE_SQL,
+    pagerank_oracle_sql as _pagerank_oracle_sql,
+)
+
+_GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(n_iters=5)
 
 _SQL_SPLIT_ASSIGN = """
 WITH b AS (
@@ -3023,6 +3048,8 @@ QUERIES = {
     "curation_report": q_curation_report,
     "bm25_must_not": q_bm25_must_not,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "link_degrees": q_link_degrees,
+    "pagerank": q_pagerank,
     "revenue_forecast": q_revenue_forecast,
     "shipping_priority": q_shipping_priority,
     "split_assign": q_split_assign,
@@ -3118,6 +3145,8 @@ ORACLE_SQL = {
     ),
     "bm25_must_not": _SQL_BM25_MUST_NOT,
     "decontaminate_bloom": _SQL_DECONTAMINATE,
+    "link_degrees": _GRAPH_DEGREE_SQL,
+    "pagerank": _GRAPH_PAGERANK_SQL,
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,

@@ -1,0 +1,271 @@
+"""Web link-graph operators: degree stats and PageRank.
+
+A web-corpus engine needs link-graph signals (in-degree as an authority
+prior, PageRank for crawl/training-data weighting). The documents
+fixture carries no hyperlink column, so edges derive deterministically
+from content-free hashes — edge ``j`` of doc ``d`` points at
+``md5_low64("edge:{d}:{j}") % N`` with ``1 + d % max_out`` edges and
+self-loops dropped. The derivation is mirrored verbatim in the SQL
+oracle, so what the oracle actually checks is the graph OPERATORS:
+degree aggregation and iterative rank propagation as Dataset join +
+groupby rounds (the same physical plan as dedup's connected
+components, `dedup.py:dup_components_ds`).
+
+PageRank runs in FIXED-POINT integer arithmetic (micro-units, scale
+1e12): a node's contribution floor-divides its rank by its out-degree,
+and the damping multiply floor-divides by 100 — every engine (numpy
+int64 here, DuckDB BIGINT in the oracle) computes bit-identical ranks
+regardless of summation order. Same determinism trick as the
+integer-cents money pipeline (`relational.py`). Dangling mass is
+dropped (the "rank leaks" formulation), keeping each round one edge
+join + one grouped sum on both sides.
+
+Scale shape: per round, the rank table (16 B/doc) hash-joins the edge
+list and the contributions pre-aggregate map-side inside Ray's hash
+groupby — no driver-side graph, no adjacency materialization. Rounds
+are a fixed, documented count (PageRank power iteration converges
+geometrically at damping 0.85; fixed-iteration is the standard batch
+formulation), so the whole job is ``2 * n_iters`` exchanges of
+corpus-×-avg-degree-sized tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from semantic_pdf_search_engine_ray.functions.shingle import md5_hash64
+
+SCALE = 10**12  # rank micro-units: sum of all ranks ~= SCALE
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+MAX_OUT_DEFAULT = 3
+
+
+def derive_edges(
+    docs: rd.Dataset, n_docs: int, max_out: int = MAX_OUT_DEFAULT
+) -> rd.Dataset:
+    """Deterministic hash link graph over the corpus: doc ``d`` emits
+    ``1 + d % max_out`` edges, edge ``j`` targeting
+    ``md5_low64('edge:{d}:{j}') % n_docs``; self-loops dropped. Pure
+    map-side, mirrored by the SQL oracle's ``md5_number_lower``."""
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src_out, dst_out = [], []
+        for d in batch.column("doc_id").to_pylist():
+            for j in range(1 + d % max_out):
+                t = md5_hash64(f"edge:{d}:{j}") % n_docs
+                if t != d:
+                    src_out.append(d)
+                    dst_out.append(t)
+        return pa.table({
+            "src": pa.array(src_out, type=pa.int64()),
+            "dst": pa.array(dst_out, type=pa.int64()),
+        })
+
+    return docs.map_batches(edges, batch_format="pyarrow")
+
+
+def degree_table(
+    docs: rd.Dataset, n_docs: int, max_out: int = MAX_OUT_DEFAULT
+) -> rd.Dataset:
+    """(doc_id, out_deg, in_deg) for every doc, zero-degree docs
+    included. One grouped sum over the union of per-edge endpoint
+    markers and per-doc zero rows — no join at all (the union IS the
+    left-outer join, and Ray's hash groupby pre-aggregates the
+    endpoint markers map-side before the exchange)."""
+    e = derive_edges(docs, n_docs, max_out=max_out)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        dst = batch.column("dst")
+        n = len(batch)
+        one = pa.array(np.ones(n, dtype=np.int64))
+        zero = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [src.combine_chunks(), dst.combine_chunks()]),
+            "o": pa.concat_arrays([one, zero]),
+            "i": pa.concat_arrays([zero, one]),
+        })
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "o": z, "i": z,
+        })
+
+    marks = e.map_batches(endpoints, batch_format="pyarrow").union(
+        docs.map_batches(zeros, batch_format="pyarrow")
+    )
+    return (
+        marks.groupby("doc_id")
+        .aggregate(Sum("o", alias_name="out_deg"),
+                   Sum("i", alias_name="in_deg"))
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "out_deg": t.column("out_deg").cast(pa.int64()),
+                "in_deg": t.column("in_deg").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def pagerank(
+    docs: rd.Dataset,
+    n_docs: int,
+    n_iters: int = 5,
+    max_out: int = MAX_OUT_DEFAULT,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Fixed-point PageRank over the derived link graph:
+
+        r_0(v)     = SCALE // N
+        c_t(u)     = r_t(u) // out_deg(u)            (per out-edge)
+        r_{t+1}(v) = (SCALE*15//100) // N
+                     + (85 * sum_{u->v} c_t(u)) // 100
+
+    All integer (numpy int64 / DuckDB BIGINT), so ranks are
+    bit-identical across engines and summation orders. Output:
+    (doc_id, rank_micro) after ``n_iters`` rounds."""
+    edges = derive_edges(docs, n_docs, max_out=max_out).materialize()
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    edges_deg = edges.join(
+        outdeg.materialize(), "inner", num_partitions,
+        on=("src",), right_on=("src",), right_suffix="_r",
+    ).map_batches(
+        lambda t: pa.table({
+            "src": t.column("src").cast(pa.int64()),
+            "dst": t.column("dst").cast(pa.int64()),
+            "deg": t.column("deg").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    base_r = SCALE // n_docs
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n_docs
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "r": pa.array(np.full(n, base_r, dtype=np.int64)),
+        })
+
+    doc_ids = docs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    ranks = doc_ids.map_batches(init, batch_format="pyarrow").materialize()
+
+    def zero_s(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "s": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    zeros = doc_ids.map_batches(zero_s, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy()
+        deg = t.column("deg").to_numpy()
+        return pa.table({
+            "doc_id": t.column("dst").cast(pa.int64()),
+            "s": pa.array(r // deg),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "r": pa.array(teleport + (DAMP_NUM * s) // DAMP_DEN),
+        })
+
+    for _ in range(n_iters):
+        msgs = edges_deg.join(
+            ranks, "inner", num_partitions,
+            on=("src",), right_on=("doc_id",), right_suffix="_r",
+        ).map_batches(contrib, batch_format="pyarrow")
+        ranks = (
+            msgs.union(zeros)
+            .groupby("doc_id")
+            .aggregate(Sum("s", alias_name="s"))
+            .map_batches(finish, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "rank_micro": t.column("r").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_oracle_sql(
+    n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT
+) -> str:
+    """DuckDB mirror: same edge derivation, same fixed-point update,
+    one CTE per iteration (standard SQL; no recursive-CTE aggregate
+    restrictions to fight)."""
+    teleport_expr = f"(({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // n.nd)"
+    ctes = [
+        "n AS (SELECT count(*)::BIGINT AS nd FROM documents)",
+        f"""edges AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST(md5_number_lower('edge:' || d.doc_id::VARCHAR || ':'
+                                 || j::VARCHAR) % n.nd AS BIGINT) AS dst
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % {max_out}))
+                 AS j FROM documents) d, n
+  ) WHERE dst != src
+)""",
+        """outdeg AS (SELECT src, count(*)::BIGINT AS deg
+           FROM edges GROUP BY src)""",
+        f"""r0 AS (SELECT doc_id, ({SCALE} // n.nd)::BIGINT AS r
+          FROM documents, n)""",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT d.doc_id,
+         ({teleport_expr}
+          + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN})::BIGINT AS r
+  FROM documents d CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.r // o.deg)::BIGINT AS s
+    FROM r{i - 1} p
+    JOIN edges e ON e.src = p.doc_id
+    JOIN outdeg o ON o.src = p.doc_id
+    GROUP BY e.dst
+  ) c ON c.doc_id = d.doc_id
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT doc_id, r AS rank_micro FROM r{n_iters}")
+
+
+DEGREE_ORACLE_SQL = f"""
+WITH n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST(md5_number_lower('edge:' || d.doc_id::VARCHAR || ':'
+                                 || j::VARCHAR) % n.nd AS BIGINT) AS dst
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % {MAX_OUT_DEFAULT}))
+                 AS j FROM documents) d, n
+  ) WHERE dst != src
+)
+SELECT d.doc_id,
+       coalesce(o.c, 0)::BIGINT AS out_deg,
+       coalesce(i.c, 0)::BIGINT AS in_deg
+FROM documents d
+LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY src) o
+       ON o.src = d.doc_id
+LEFT JOIN (SELECT dst, count(*)::BIGINT AS c FROM edges GROUP BY dst) i
+       ON i.dst = d.doc_id
+"""

@@ -80,6 +80,8 @@ SUBSET = [
     "split_assign",
     "bm25_must_not",
     "decontaminate_bloom",
+    "link_degrees",
+    "pagerank",
 ]
 
 

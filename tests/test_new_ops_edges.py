@@ -284,3 +284,29 @@ def test_decontaminate_bloom_equals_exact(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert exact.equals(bloom)
     assert set(bloom["doc_id"]) == {3, 5}
+
+
+def test_link_graph_invariants(ray_session):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(50)), type=pa.int64()),
+    }))
+    deg = gr.degree_table(docs, n_docs=50).to_pandas()
+    assert len(deg) == 50
+    # every edge has one src and one dst endpoint
+    assert deg["out_deg"].sum() == deg["in_deg"].sum()
+    # out-degree bounded by the derivation rule (1 + d % 3, self-loops dropped)
+    assert deg["out_deg"].max() <= 3
+
+    pr = gr.pagerank(docs, n_docs=50, n_iters=3).to_pandas()
+    assert len(pr) == 50
+    assert (pr["rank_micro"] > 0).all()
+    # floor-division only loses mass: total rank never exceeds SCALE
+    assert pr["rank_micro"].sum() <= gr.SCALE
+    # parallelism invariance: integer arithmetic, any block layout
+    pr8 = gr.pagerank(docs.repartition(8), n_docs=50, n_iters=3).to_pandas()
+    a = pr.sort_values("doc_id").reset_index(drop=True)
+    b = pr8.sort_values("doc_id").reset_index(drop=True)
+    assert (a["rank_micro"].values == b["rank_micro"].values).all()
