@@ -2878,6 +2878,17 @@ def q_pagerank(sf_dir: str) -> rd.Dataset:
     return gr.pagerank(docs, n_docs=docs.count(), n_iters=5)
 
 
+def q_hll_distinct(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog distinct users per event_type (the approximate scale
+    path next to events_distinct_users' exact two-stage groupby);
+    register construction is integer-exact and SQL-mirrored."""
+    from semantic_pdf_search_engine_ray.pipelines import sketch as sk
+
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_type", "user_id"])
+    return sk.hll_distinct_users(events)
+
+
 def q_split_assign(sf_dir: str) -> rd.Dataset:
     """Deterministic hash train/val/test assignment over documents."""
     from semantic_pdf_search_engine_ray.pipelines import sampling as smp
@@ -2948,6 +2959,10 @@ from semantic_pdf_search_engine_ray.pipelines.graph import (
 )
 
 _GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(n_iters=5)
+
+from semantic_pdf_search_engine_ray.pipelines.sketch import (
+    HLL_ORACLE_SQL as _HLL_SQL,
+)
 
 _SQL_SPLIT_ASSIGN = """
 WITH b AS (
@@ -3050,6 +3065,7 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "link_degrees": q_link_degrees,
     "pagerank": q_pagerank,
+    "hll_distinct_users": q_hll_distinct,
     "revenue_forecast": q_revenue_forecast,
     "shipping_priority": q_shipping_priority,
     "split_assign": q_split_assign,
@@ -3147,6 +3163,7 @@ ORACLE_SQL = {
     "decontaminate_bloom": _SQL_DECONTAMINATE,
     "link_degrees": _GRAPH_DEGREE_SQL,
     "pagerank": _GRAPH_PAGERANK_SQL,
+    "hll_distinct_users": _HLL_SQL,
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,

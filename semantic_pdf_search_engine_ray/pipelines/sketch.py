@@ -189,3 +189,133 @@ def heavy_hitter_terms(
     return _exact_topk(docs, k)
 
 
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct counting (the approximate DAU-class scale path)
+# --------------------------------------------------------------------------
+
+HLL_P = 12                       # 2^12 = 4096 buckets, ~1.6% std error
+HLL_M = 1 << HLL_P
+HLL_W = 64 - HLL_P               # rho window width (52 bits)
+_TWO53 = float(1 << (HLL_W + 1))  # 2^53 as an exact double
+
+
+def _hll_rho(remaining: int) -> int:
+    """Position (1-based) of the leftmost set bit inside the 52-bit
+    window; 53 when the window is all zeros. Mirrored in SQL as
+    ``53 - length(bin(remaining))`` (bin() emits no leading zeros)."""
+    return (HLL_W + 1) - remaining.bit_length() if remaining else HLL_W + 1
+
+
+def hll_distinct_users(events: rd.Dataset) -> rd.Dataset:
+    """Approximate distinct users per event_type via HyperLogLog
+    (Flajolet et al. 2007) — the documented scale path next to the
+    exact two-stage groupby (`windows.tumbling_distinct_users`): the
+    exchange is ≤ |event_types| x 4096 REGISTER rows instead of one row
+    per distinct user, so cardinality of the key space stops mattering.
+
+    Everything up to the final estimate is INTEGER-exact and mirrored
+    in SQL (md5-low64 hash, top-12-bit bucket, bit-length rho,
+    power-of-two register sum in big-int), so the oracle pairing is a
+    true value check, not a tolerance band; the closing float division
+    + ln use expressions written identically on both sides.
+
+    Output: (event_type, n_present, est_r) — occupied registers and
+    the rounded cardinality estimate."""
+    import math
+
+    from semantic_pdf_search_engine_ray.functions.shingle import md5_hash64
+    from ray.data.aggregate import Max
+
+    mask = (1 << HLL_W) - 1
+
+    def registers(batch: pa.Table) -> pa.Table:
+        # map-side pre-aggregation: one (type, bucket) -> max rho dict
+        # per batch, never one row per event
+        best: dict[tuple[str, int], int] = {}
+        for et, uid in zip(batch.column("event_type").to_pylist(),
+                           batch.column("user_id").to_pylist()):
+            h = md5_hash64(str(uid))
+            key = (et, h >> HLL_W)
+            rho = _hll_rho(h & mask)
+            if rho > best.get(key, 0):
+                best[key] = rho
+        return pa.table({
+            "event_type": pa.array([k[0] for k in best], type=pa.string()),
+            "bucket": pa.array([k[1] for k in best], type=pa.int64()),
+            "rho": pa.array(list(best.values()), type=pa.int64()),
+        })
+
+    regs = (
+        events.map_batches(registers, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max("rho", alias_name="m_rho"))
+    )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        rhos = group.column("m_rho").to_pylist()
+        n_present = len(rhos)
+        # exact big-int register sum, scaled by 2^53 (absent registers
+        # contribute 2^-0 each)
+        s = sum(1 << (HLL_W + 1 - r) for r in rhos) \
+            + (HLL_M - n_present) * (1 << (HLL_W + 1))
+        # expression written EXACTLY as in the SQL oracle (same
+        # association order -> same IEEE rounding)
+        e_raw = 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 \
+            * 9007199254740992.0 / float(s)
+        v = HLL_M - n_present
+        if e_raw <= 2.5 * HLL_M and v > 0:
+            e = 4096 * math.log(4096.0 / v)
+        else:
+            e = e_raw
+        est_r = math.copysign(
+            math.floor(abs(e) * 1e6 + 0.5), e) / 1e6
+        return pa.table({
+            "event_type": [group.column("event_type")[0].as_py()],
+            "n_present": pa.array([n_present], type=pa.int64()),
+            "est_r": pa.array([est_r], type=pa.float64()),
+        })
+
+    return regs.groupby("event_type").map_groups(
+        estimate, batch_format="pyarrow"
+    )
+
+
+HLL_ORACLE_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(md5_number_lower(user_id::VARCHAR) AS UBIGINT) AS hv
+  FROM events
+),
+br AS (
+  SELECT event_type,
+         CAST(hv >> {HLL_W} AS BIGINT) AS bucket,
+         CASE WHEN (hv & ((1::UBIGINT << {HLL_W}) - 1)) = 0
+              THEN {HLL_W + 1}
+              ELSE {HLL_W + 1}
+                   - length(bin(hv & ((1::UBIGINT << {HLL_W}) - 1)))
+         END AS rho
+  FROM h
+),
+mx AS (SELECT event_type, bucket, max(rho) AS m_rho
+       FROM br GROUP BY event_type, bucket),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_present,
+         sum(CAST(1::UBIGINT << ({HLL_W + 1} - m_rho) AS HUGEINT))
+           + CAST({HLL_M} - count(*) AS HUGEINT) * 9007199254740992
+           AS s
+  FROM mx GROUP BY event_type
+)
+SELECT event_type, n_present,
+       round(CASE WHEN 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                       * 9007199254740992.0 / CAST(s AS DOUBLE)
+                       <= {int(2.5 * HLL_M)}.0
+                   AND {HLL_M} - n_present > 0
+              THEN 4096 * ln(4096.0 / ({HLL_M} - n_present))
+              ELSE 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                   * 9007199254740992.0 / CAST(s AS DOUBLE)
+         END, 6) AS est_r
+FROM agg
+"""

@@ -82,6 +82,7 @@ SUBSET = [
     "decontaminate_bloom",
     "link_degrees",
     "pagerank",
+    "hll_distinct_users",
 ]
 
 

@@ -71,3 +71,28 @@ def test_heavy_hitters_fallback_on_uniform_distribution(ray_session):
     out = heavy_hitter_terms(docs, k=2, slots_factor=1)  # slots = 2
     assert out.column("term").to_pylist() == ["alpha", "beta"]
     assert out.column("count").to_pylist() == [3, 2]
+
+
+def test_hll_estimate_within_error_bound(ray_session):
+    """Large-cardinality path (no small-range correction): HLL at
+    p=12 has ~1.6% std error; assert within 5% of truth."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.sketch import (
+        hll_distinct_users,
+    )
+
+    n = 60_000
+    events = rd.from_arrow(pa.table({
+        "event_type": pa.array(["x"] * n, type=pa.string()),
+        # 30k distinct users, each appearing twice
+        "user_id": pa.array(
+            np.concatenate([np.arange(30_000)] * 2), type=pa.int64()),
+    })).repartition(8)
+    out = hll_distinct_users(events).to_pandas()
+    assert len(out) == 1
+    est = float(out["est_r"][0])
+    assert est > 2.5 * 4096, "should be out of the small-range regime"
+    assert abs(est - 30_000) / 30_000 < 0.05
