@@ -204,7 +204,8 @@ def run_bench() -> dict:
                  # round-3 wave 3
                  "shipping_priority", "revenue_forecast", "split_assign",
                  "bm25_must_not", "decontaminate_bloom",
-                 "link_degrees", "pagerank", "hll_distinct_users"):
+                 "link_degrees", "pagerank", "hll_distinct_users",
+                 "local_supplier_revenue"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

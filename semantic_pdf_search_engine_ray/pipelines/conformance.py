@@ -2878,6 +2878,29 @@ def q_pagerank(sf_dir: str) -> rd.Dataset:
     return gr.pagerank(docs, n_docs=docs.count(), n_iters=5)
 
 
+def q_local_supplier_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5 shape: 6-table same-nation revenue (dimension tables
+    broadcast, fact tables hash-joined)."""
+    import pyarrow.parquet as _pq
+
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    lineitem = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_extendedprice", "l_discount"])
+    supplier = _pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                              columns=["s_suppkey", "s_nationkey"])
+    nation = _pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = _pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return rel.local_supplier_revenue(customer, orders, lineitem,
+                                      supplier, nation, region)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -2963,6 +2986,24 @@ _GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(n_iters=5)
 from semantic_pdf_search_engine_ray.pipelines.sketch import (
     HLL_ORACLE_SQL as _HLL_SQL,
 )
+
+_SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_c,
+       count(*)::BIGINT AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
 
 _SQL_SPLIT_ASSIGN = """
 WITH b AS (
@@ -3066,6 +3107,7 @@ QUERIES = {
     "link_degrees": q_link_degrees,
     "pagerank": q_pagerank,
     "hll_distinct_users": q_hll_distinct,
+    "local_supplier_revenue": q_local_supplier_revenue,
     "revenue_forecast": q_revenue_forecast,
     "shipping_priority": q_shipping_priority,
     "split_assign": q_split_assign,
@@ -3164,6 +3206,7 @@ ORACLE_SQL = {
     "link_degrees": _GRAPH_DEGREE_SQL,
     "pagerank": _GRAPH_PAGERANK_SQL,
     "hll_distinct_users": _HLL_SQL,
+    "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -396,4 +397,137 @@ def shipping_priority(
             "o_orderpriority": t.column("o_orderpriority"),
         }),
         batch_format="pyarrow",
+    )
+
+
+Q5_REGION = "EUROPE"
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1998-01-01 00:00:00"
+
+
+def local_supplier_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    supplier_tbl: pa.Table,
+    nation_tbl: pa.Table,
+    region_tbl: pa.Table,
+    region: str = Q5_REGION,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """TPC-H Q5 shape: revenue per nation from orders where the
+    customer and the line's supplier sit in the same nation of one
+    region. The physical plan separates the two table classes:
+
+    - region -> nation -> supplier are DIMENSION tables (thousands of
+      rows at any real scale): resolved on the driver into two small
+      dicts (nationkey -> name, suppkey -> nationkey) and broadcast
+      once via ``ray.put`` — no shuffle. If supplier ever outgrew
+      dimension size the suppkey map would become a third Dataset.join
+      on l_suppkey; the broadcast is a documented assumption, not a
+      requirement of the operator.
+    - customer x orders x lineitem are FACT tables: two hash
+      Dataset.joins (custkey, then orderkey), each side filtered at the
+      map before the exchange (date window on orders, region nations on
+      customers).
+
+    The same-nation condition and the grouping key resolve against the
+    broadcast dicts inside ``map_batches``; money sums are integer
+    cents (4-decimal exact)."""
+    region_keys = {
+        rk for rk, rn in zip(region_tbl.column("r_regionkey").to_pylist(),
+                             region_tbl.column("r_name").to_pylist())
+        if rn == region
+    }
+    nation_name = {
+        nk: nm for nk, nm, rk in zip(
+            nation_tbl.column("n_nationkey").to_pylist(),
+            nation_tbl.column("n_name").to_pylist(),
+            nation_tbl.column("n_regionkey").to_pylist())
+        if rk in region_keys
+    }
+    supp_nation = {
+        sk: nk for sk, nk in zip(
+            supplier_tbl.column("s_suppkey").to_pylist(),
+            supplier_tbl.column("s_nationkey").to_pylist())
+        if nk in nation_name
+    }
+    nation_ref = ray.put(nation_name)
+    supp_ref = ray.put(supp_nation)
+    lo, hi = _ts(Q5_LO), _ts(Q5_HI)
+
+    def region_cust(t: pa.Table) -> pa.Table:
+        nn = ray.get(nation_ref)
+        keys = t.column("c_nationkey").to_pylist()
+        mask = pa.array([k in nn for k in keys])
+        t = t.filter(mask)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+        })
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+        })
+
+    ords = (
+        orders.map_batches(window_orders, batch_format="pyarrow")
+        .join(customer.map_batches(region_cust, batch_format="pyarrow")
+              .materialize(),
+              "inner", num_partitions,
+              on=("o_custkey",), right_on=("c_custkey",))
+    )
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        supp = t.column("l_suppkey").to_pylist()
+        mask = pa.array([s in sn for s in supp])
+        t = t.filter(mask)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "rev_c": pa.array(_cents(price * (1.0 - disc), 10_000)),
+        })
+
+    joined = (
+        lineitem.map_batches(li_proj, batch_format="pyarrow")
+        .join(ords.materialize(), "inner", num_partitions,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        nn = ray.get(nation_ref)
+        supp = t.column("l_suppkey").to_pylist()
+        cnat = t.column("c_nationkey").to_pylist()
+        keep, names = [], []
+        for i, (s, c) in enumerate(zip(supp, cnat)):
+            if sn[s] == c:
+                keep.append(i)
+                names.append(nn[c])
+        t = t.take(pa.array(keep, type=pa.int64()))
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "rev_c": t.column("rev_c"),
+        })
+
+    return (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"),
+                   Count(alias_name="n_items"))
+        .map_batches(
+            lambda t: pa.table({
+                "n_name": t.column("n_name"),
+                "revenue_c": t.column("revenue_c").cast(pa.int64()),
+                "n_items": t.column("n_items").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
     )

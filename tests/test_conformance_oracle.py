@@ -12,8 +12,8 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("documents", "embeddings", "events",
-          "lineitem", "orders", "customer")
+TABLES = ("documents", "embeddings", "events", "lineitem", "orders",
+          "customer", "supplier", "nation", "region", "part")
 
 # Queries covering every engine subsystem that has a SQL oracle:
 # the full BM25 chain (build shuffle + codec + scoring + sharding),
@@ -83,6 +83,7 @@ SUBSET = [
     "link_degrees",
     "pagerank",
     "hll_distinct_users",
+    "local_supplier_revenue",
 ]
 
 
