@@ -2901,6 +2901,21 @@ def q_local_supplier_revenue(sf_dir: str) -> rd.Dataset:
                                       supplier, nation, region)
 
 
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: promo-part share of discounted revenue (part
+    bitmap broadcast; fact side streams, no shuffle)."""
+    import pyarrow.parquet as _pq
+
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    lineitem = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey", "l_shipdate",
+                                        "l_extendedprice", "l_discount"])
+    part = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_type"])
+    return rel.promo_revenue_share(lineitem, part)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3003,6 +3018,24 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n_name
+"""
+
+_SQL_PROMO_REVENUE = """
+WITH f AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev_c,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT coalesce(sum(CASE WHEN is_promo THEN rev_c ELSE 0 END), 0)::BIGINT
+         AS promo_c,
+       coalesce(sum(rev_c), 0)::BIGINT AS total_c,
+       round(100.0 * coalesce(sum(CASE WHEN is_promo THEN rev_c ELSE 0
+                                  END), 0)
+             / coalesce(sum(rev_c), 0), 6) AS promo_pct_r
+FROM f
 """
 
 _SQL_SPLIT_ASSIGN = """
@@ -3108,6 +3141,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "hll_distinct_users": q_hll_distinct,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "promo_revenue_share": q_promo_revenue,
     "revenue_forecast": q_revenue_forecast,
     "shipping_priority": q_shipping_priority,
     "split_assign": q_split_assign,
@@ -3207,6 +3241,7 @@ ORACLE_SQL = {
     "pagerank": _GRAPH_PAGERANK_SQL,
     "hll_distinct_users": _HLL_SQL,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
+    "promo_revenue_share": _SQL_PROMO_REVENUE,
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,

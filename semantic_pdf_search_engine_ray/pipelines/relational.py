@@ -531,3 +531,58 @@ def local_supplier_revenue(
             batch_format="pyarrow",
         )
     )
+
+
+Q14_LO = "1997-01-01 00:00:00"
+Q14_HI = "1998-01-01 00:00:00"
+
+
+def promo_revenue_share(
+    lineitem: rd.Dataset, part_tbl: pa.Table
+) -> pa.Table:
+    """TPC-H Q14 shape: share of one shipdate-year's discounted revenue
+    that comes from PROMO-type parts. part is a dimension table — the
+    partkey -> is-promo bitmap broadcasts once via ``ray.put`` and the
+    fact side streams through one map + one global sum pair (no
+    shuffle). Numerator/denominator are exact integer cents; the single
+    closing division is written identically in the SQL oracle."""
+    promo = {
+        pk for pk, pt in zip(part_tbl.column("p_partkey").to_pylist(),
+                             part_tbl.column("p_type").to_pylist())
+        if pt == "PROMO"
+    }
+    promo_ref = ray.put(frozenset(promo))
+    lo, hi = _ts(Q14_LO), _ts(Q14_HI)
+
+    def derive(t: pa.Table) -> pa.Table:
+        pr = ray.get(promo_ref)
+        ship = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(ship, lo),
+                             pc.less(ship, hi)))
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = _cents(price * (1.0 - disc), 10_000)
+        is_promo = np.fromiter(
+            (pk in pr for pk in t.column("l_partkey").to_pylist()),
+            dtype=bool, count=len(t),
+        )
+        return pa.table({
+            "promo_c": pa.array(np.where(is_promo, rev, 0)),
+            "total_c": pa.array(rev),
+        })
+
+    agg = lineitem.map_batches(derive, batch_format="pyarrow").aggregate(
+        Sum("promo_c", alias_name="promo_c"),
+        Sum("total_c", alias_name="total_c"),
+    )
+    promo_c = int(agg.get("promo_c") or 0)
+    total_c = int(agg.get("total_c") or 0)
+    pct = 100.0 * promo_c / total_c if total_c else 0.0
+    import math
+
+    pct_r = math.copysign(math.floor(abs(pct) * 1e6 + 0.5), pct) / 1e6
+    return pa.table({
+        "promo_c": pa.array([promo_c], type=pa.int64()),
+        "total_c": pa.array([total_c], type=pa.int64()),
+        "promo_pct_r": pa.array([pct_r], type=pa.float64()),
+    })

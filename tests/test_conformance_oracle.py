@@ -84,6 +84,7 @@ SUBSET = [
     "pagerank",
     "hll_distinct_users",
     "local_supplier_revenue",
+    "promo_revenue_share",
 ]
 
 
