@@ -205,7 +205,8 @@ def run_bench() -> dict:
                  "shipping_priority", "revenue_forecast", "split_assign",
                  "bm25_must_not", "decontaminate_bloom",
                  "link_degrees", "pagerank", "hll_distinct_users",
-                 "local_supplier_revenue", "promo_revenue_share"):
+                 "local_supplier_revenue", "promo_revenue_share",
+                 "events_rollup", "user_event_lag"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2916,6 +2916,20 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
     return rel.promo_revenue_share(lineitem, part)
 
 
+def q_events_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP (detail + per-type subtotals + grand total)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["ts", "event_type", "value"])
+    return win.rollup_events(events)
+
+
+def q_user_event_lag(sf_dir: str) -> rd.Dataset:
+    """row_number()/lag() OVER (PARTITION BY user ORDER BY ts, id)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_id", "user_id", "ts"])
+    return win.user_event_lag(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3038,6 +3052,31 @@ SELECT coalesce(sum(CASE WHEN is_promo THEN rev_c ELSE 0 END), 0)::BIGINT
 FROM f
 """
 
+_SQL_EVENTS_ROLLUP = """
+WITH h AS (
+  SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hour,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT event_type, hour,
+       count(*)::BIGINT AS n_events,
+       sum(v_c)::BIGINT AS value_c
+FROM h GROUP BY ROLLUP(event_type, hour)
+"""
+
+_SQL_USER_EVENT_LAG = """
+WITH e AS (
+  SELECT event_id, user_id,
+         epoch(date_trunc('second', ts))::BIGINT AS es
+  FROM events
+)
+SELECT event_id, user_id,
+       row_number() OVER w::BIGINT AS seq,
+       (es - lag(es) OVER w)::BIGINT AS gap_s
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+"""
+
 _SQL_SPLIT_ASSIGN = """
 WITH b AS (
   SELECT doc_id,
@@ -3140,6 +3179,8 @@ QUERIES = {
     "link_degrees": q_link_degrees,
     "pagerank": q_pagerank,
     "hll_distinct_users": q_hll_distinct,
+    "events_rollup": q_events_rollup,
+    "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
     "revenue_forecast": q_revenue_forecast,
@@ -3240,6 +3281,8 @@ ORACLE_SQL = {
     "link_degrees": _GRAPH_DEGREE_SQL,
     "pagerank": _GRAPH_PAGERANK_SQL,
     "hll_distinct_users": _HLL_SQL,
+    "events_rollup": _SQL_EVENTS_ROLLUP,
+    "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,
     "revenue_forecast": _SQL_REVENUE_FORECAST,

@@ -14,6 +14,7 @@ result is comparable across engines (the SQL oracle uses
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -277,4 +278,110 @@ def tumbling_distinct_users(
         per_user.groupby(["window_start", key])
         .aggregate(Count(alias_name="n_users"),
                    Sum("n", alias_name="n_events"))
+    )
+
+
+def rollup_events(
+    events: rd.Dataset, key: str = "event_type"
+) -> rd.Dataset:
+    """GROUP BY ROLLUP((key, hour-of-day)) — detail rows plus per-key
+    subtotals plus a grand total, NULL key columns marking the subtotal
+    levels (the SQL ROLLUP output contract).
+
+    Scale shape: only the DETAIL aggregation touches the corpus (one
+    hash groupby with Ray's built-in map-side combine); both subtotal
+    levels re-aggregate the already-tiny detail table (|keys| x 24
+    rows), so the rollup costs one corpus pass regardless of how many
+    levels it emits. Money-style exactness: ``value`` is 2-decimal and
+    positive, so integer cents make every subtotal an exact BIGINT."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        hour = pc.hour(batch.column("ts")).cast(pa.int64())
+        v = batch.column("value").to_numpy()
+        return pa.table({
+            key: batch.column(key),
+            "hour": hour,
+            "value_c": pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    detail = (
+        events.map_batches(derive, batch_format="pyarrow")
+        .groupby([key, "hour"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+        .map_batches(
+            lambda t: pa.table({
+                key: t.column(key),
+                "hour": t.column("hour").cast(pa.int64()),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "value_c": t.column("value_c").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    per_key = (
+        detail.groupby(key)
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+        .map_batches(
+            lambda t: pa.table({
+                key: t.column(key),
+                "hour": pa.nulls(len(t), type=pa.int64()),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "value_c": t.column("value_c").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+    tot = detail.aggregate(Sum("n_events", alias_name="n"),
+                           Sum("value_c", alias_name="v"))
+    total = rd.from_arrow(pa.table({
+        key: pa.nulls(1, type=pa.string()),
+        "hour": pa.nulls(1, type=pa.int64()),
+        "n_events": pa.array([int(tot.get("n") or 0)], type=pa.int64()),
+        "value_c": pa.array([int(tot.get("v") or 0)], type=pa.int64()),
+    }))
+    return detail.union(per_key).union(total)
+
+
+def user_event_lag(events: rd.Dataset) -> rd.Dataset:
+    """Ordered window functions per partition: for every event, its
+    1-based sequence number within the user's timeline and the gap in
+    whole seconds since the user's previous event (NULL on the first) —
+    row_number() and lag() OVER (PARTITION BY user ORDER BY ts, id).
+
+    One user-hash shuffle (groupby.map_groups, the sessionize plan);
+    inside each group a single argsort orders the timeline. Ordering
+    key pinned (epoch_s, event_id) so concurrent same-second events
+    sequence deterministically."""
+
+    def seq(group: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds(group.column("ts")).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, epoch))
+        epoch_o = epoch[order]
+        gaps = np.empty(len(order), dtype=np.float64)
+        gaps[0] = np.nan
+        if len(order) > 1:
+            gaps[1:] = (epoch_o[1:] - epoch_o[:-1]).astype(np.float64)
+        return pa.table({
+            "event_id": pa.array(eid[order], type=pa.int64()),
+            "user_id": group.column("user_id").take(
+                pa.array(order, type=pa.int64())).cast(pa.int64()),
+            "seq": pa.array(np.arange(1, len(order) + 1,
+                                      dtype=np.int64)),
+            "gap_s": pa.array(
+                [None if np.isnan(g) else int(g) for g in gaps],
+                type=pa.int64()),
+        })
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(seq, batch_format="pyarrow")
     )

@@ -85,6 +85,8 @@ SUBSET = [
     "hll_distinct_users",
     "local_supplier_revenue",
     "promo_revenue_share",
+    "events_rollup",
+    "user_event_lag",
 ]
 
 
