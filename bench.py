@@ -206,7 +206,7 @@ def run_bench() -> dict:
                  "bm25_must_not", "decontaminate_bloom",
                  "link_degrees", "pagerank", "hll_distinct_users",
                  "local_supplier_revenue", "promo_revenue_share",
-                 "events_rollup", "user_event_lag"):
+                 "events_rollup", "user_event_lag", "value_moments"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2930,6 +2930,13 @@ def q_user_event_lag(sf_dir: str) -> rd.Dataset:
     return win.user_event_lag(events)
 
 
+def q_value_moments(sf_dir: str) -> rd.Dataset:
+    """Per-type mean/variance/stddev from exact integer power sums."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_type", "value"])
+    return win.value_moments(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3064,6 +3071,24 @@ SELECT event_type, hour,
 FROM h GROUP BY ROLLUP(event_type, hour)
 """
 
+_SQL_VALUE_MOMENTS = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x_c
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(x_c) / count(*) / 100.0, 6) AS mean_r,
+       round((sum(x_c * x_c) * 1.0 / count(*)
+              - (sum(x_c) * 1.0 / count(*))
+                * (sum(x_c) * 1.0 / count(*))) / 10000.0, 6) AS var_r,
+       round(sqrt((sum(x_c * x_c) * 1.0 / count(*)
+                   - (sum(x_c) * 1.0 / count(*))
+                     * (sum(x_c) * 1.0 / count(*))) / 10000.0), 6)
+         AS std_r
+FROM c GROUP BY event_type
+"""
+
 _SQL_USER_EVENT_LAG = """
 WITH e AS (
   SELECT event_id, user_id,
@@ -3180,6 +3205,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "hll_distinct_users": q_hll_distinct,
     "events_rollup": q_events_rollup,
+    "value_moments": q_value_moments,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3282,6 +3308,7 @@ ORACLE_SQL = {
     "pagerank": _GRAPH_PAGERANK_SQL,
     "hll_distinct_users": _HLL_SQL,
     "events_rollup": _SQL_EVENTS_ROLLUP,
+    "value_moments": _SQL_VALUE_MOMENTS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

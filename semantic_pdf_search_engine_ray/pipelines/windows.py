@@ -385,3 +385,54 @@ def user_event_lag(events: rd.Dataset) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(seq, batch_format="pyarrow")
     )
+
+
+def value_moments(events: rd.Dataset, key: str = "event_type") -> rd.Dataset:
+    """Per-key statistical moments (count, mean, population variance /
+    stddev) from EXACT integer power sums: value is 2-decimal positive,
+    so sum(x_c) and sum(x_c^2) in cents are exact BIGINTs and the only
+    float ops are the closing divisions — written identically in the
+    SQL oracle, so the distributed summation order cannot move a digit
+    (the Welford-vs-naive numerical-stability debate disappears when
+    the sums are integers). One hash groupby with built-in map-side
+    combine."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        x = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            key: batch.column(key),
+            "x_c": pa.array(x),
+            "x2_c": pa.array(x * x),
+        })
+
+    agg = (
+        events.map_batches(derive, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Count(alias_name="n"),
+                   Sum("x_c", alias_name="s1"),
+                   Sum("x2_c", alias_name="s2"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        s1 = t.column("s1").to_numpy().astype(np.int64)
+        s2 = t.column("s2").to_numpy().astype(np.int64)
+        # expressions mirrored 1:1 in SQL (same association order)
+        mean = s1 / n / 100.0
+        var = (s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) / 10000.0
+        std = np.sqrt(var)
+
+        def r6(v: np.ndarray) -> np.ndarray:
+            # vectorized DuckDB round() (half away from zero)
+            return np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6
+
+        return pa.table({
+            key: t.column(key),
+            "n": pa.array(n, type=pa.int64()),
+            "mean_r": pa.array(r6(mean), type=pa.float64()),
+            "var_r": pa.array(r6(var), type=pa.float64()),
+            "std_r": pa.array(r6(std), type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -87,6 +87,7 @@ SUBSET = [
     "promo_revenue_share",
     "events_rollup",
     "user_event_lag",
+    "value_moments",
 ]
 
 
