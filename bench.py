@@ -206,7 +206,8 @@ def run_bench() -> dict:
                  "bm25_must_not", "decontaminate_bloom",
                  "link_degrees", "pagerank", "hll_distinct_users",
                  "local_supplier_revenue", "promo_revenue_share",
-                 "events_rollup", "user_event_lag", "value_moments"):
+                 "events_rollup", "user_event_lag", "value_moments",
+                 "kmeans_lloyd"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2875,6 +2875,9 @@ def q_pagerank(sf_dir: str) -> rd.Dataset:
     from semantic_pdf_search_engine_ray.pipelines import graph as gr
 
     docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    # functional plan: one grouped-sum exchange per round (edges are a
+    # pure function of doc_id); the general join plan is pytest-pinned
+    # bit-equal and soaked separately
     return gr.pagerank(docs, n_docs=docs.count(), n_iters=5)
 
 
@@ -2935,6 +2938,14 @@ def q_value_moments(sf_dir: str) -> rd.Dataset:
     events = rd.read_parquet(events_path(sf_dir),
                              columns=["event_type", "value"])
     return win.value_moments(events)
+
+
+def q_kmeans_lloyd(sf_dir: str) -> rd.Dataset:
+    """Iterated Lloyd k-means fit in fixed-point integers (3 assign +
+    update rounds; bit-exact SQL mirror, one CTE pair per round)."""
+    from semantic_pdf_search_engine_ray.pipelines import similarity as sim
+
+    return sim.kmeans_lloyd(embeddings_path(sf_dir))
 
 
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
@@ -3022,6 +3033,11 @@ _GRAPH_PAGERANK_SQL = _pagerank_oracle_sql(n_iters=5)
 from semantic_pdf_search_engine_ray.pipelines.sketch import (
     HLL_ORACLE_SQL as _HLL_SQL,
 )
+from semantic_pdf_search_engine_ray.pipelines.similarity import (
+    kmeans_oracle_sql as _kmeans_oracle_sql,
+)
+
+_SQL_KMEANS = _kmeans_oracle_sql(n_clusters=8, n_iters=3)
 
 _SQL_LOCAL_SUPPLIER_REVENUE = """
 SELECT n_name,
@@ -3206,6 +3222,7 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct,
     "events_rollup": q_events_rollup,
     "value_moments": q_value_moments,
+    "kmeans_lloyd": q_kmeans_lloyd,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3309,6 +3326,7 @@ ORACLE_SQL = {
     "hll_distinct_users": _HLL_SQL,
     "events_rollup": _SQL_EVENTS_ROLLUP,
     "value_moments": _SQL_VALUE_MOMENTS,
+    "kmeans_lloyd": _SQL_KMEANS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

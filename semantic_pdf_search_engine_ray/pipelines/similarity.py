@@ -33,6 +33,7 @@ import pyarrow.dataset as pads
 
 import ray
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 TOPK_SCHEMA = pa.schema(
     [
@@ -513,3 +514,178 @@ def semdedup_pairs(
     return pa.concat_tables(parts).sort_by(
         [("vec_id_a", "ascending"), ("vec_id_b", "ascending")]
     )
+
+
+# --------------------------------------------------------------------------
+# Lloyd k-means in fixed-point integers (SQL-mirrorable iterative fit)
+# --------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000  # embedding values quantized to micro-units
+
+
+def _quantize_half_away(mat: np.ndarray) -> np.ndarray:
+    """float matrix -> int64 micro-units, half away from zero (the
+    DuckDB CASE floor(|x|*1e6+0.5)*sign mirror)."""
+    return (np.copysign(np.floor(np.abs(mat) * KMEANS_SCALE + 0.5),
+                        mat)).astype(np.int64)
+
+
+def _trunc_div(s: np.ndarray, n: int) -> np.ndarray:
+    """Truncating integer division (toward zero) matching DuckDB's
+    ``//`` on negatives — NOT Python's floor ``//``."""
+    q = np.abs(s) // n
+    return (np.sign(s) * q).astype(np.int64)
+
+
+def kmeans_lloyd(
+    emb_path: str | list[str],
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> rd.Dataset:
+    """Iterated Lloyd k-means over the embedding table, expressed so a
+    SQL oracle reproduces it BIT-EXACTLY — the fit `cluster_assign`'s
+    docstring declared out of oracle reach, made reachable by running
+    the whole loop in fixed-point integers:
+
+    - vectors quantize once to int64 micro-units (half-away rounding);
+    - distances are exact integer squared-Euclidean sums (order-free);
+    - argmin ties break toward the lower cluster id;
+    - centroid update is the truncating integer division
+      ``trunc(sum/count)`` in the same micro-units (sub-micro precision
+      is deliberately, deterministically discarded — the price of a
+      value-checked oracle, ~1e-6 relative perturbation per round);
+    - empty clusters keep their previous centroid.
+
+    Init: the ``n_clusters`` lowest-``vec_id`` vectors (pinned, like
+    `cluster_assign`). Output after ``n_iters`` assign+update rounds:
+    (vec_id, cluster, sq_dist) from the FINAL assignment, sq_dist the
+    exact integer distance — so any drift in any round hash-mismatches.
+
+    Scale shape: centroids are k x dim ints broadcast per round; each
+    round is one streaming pass emitting k x dim partial-sum rows per
+    batch plus a (cluster, dim)-keyed grouped sum (k*dim rows total to
+    the driver). The corpus itself never shuffles."""
+    cids, cmat_f = load_query_matrix(emb_path, n_clusters, id_col, emb_col)
+    cent = _quantize_half_away(cmat_f)  # (k, dim)
+
+    ds0 = rd.read_parquet(emb_path, columns=[id_col, emb_col])
+
+    for it in range(n_iters):
+        cref = ray.put(cent)
+        last = it == n_iters - 1
+
+        def step(batch: pa.Table, _last=last) -> pa.Table:
+            if batch.num_rows == 0:
+                if _last:
+                    return pa.table({
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cluster": pa.array([], type=pa.int64()),
+                        "sq_dist": pa.array([], type=pa.int64()),
+                    })
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int64()),
+                    "d": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                })
+            cm = ray.get(cref)  # (k, dim) int64
+            ids = batch.column(id_col).to_numpy()
+            x = _quantize_half_away(np.stack(
+                batch.column(emb_col).to_numpy(zero_copy_only=False)
+            ).astype(np.float64))  # (B, dim) int64
+            # (B, k) exact integer distances
+            dists = np.empty((x.shape[0], cm.shape[0]), dtype=np.int64)
+            for j in range(cm.shape[0]):
+                diff = x - cm[j]
+                dists[:, j] = np.sum(diff * diff, axis=1)
+            assign = np.argmin(dists, axis=1)  # first min = lowest id
+            if _last:
+                return pa.table({
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "cluster": pa.array(assign.astype(np.int64)),
+                    "sq_dist": pa.array(
+                        dists[np.arange(len(ids)), assign]),
+                })
+            # partial sums for the centroid update: k x dim rows
+            k, dim = cm.shape
+            s = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(s, assign, x)
+            n = np.bincount(assign, minlength=k).astype(np.int64)
+            cl = np.repeat(np.arange(k, dtype=np.int64), dim)
+            return pa.table({
+                "cluster": pa.array(cl),
+                "d": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+                "s": pa.array(s.reshape(-1)),
+                "n": pa.array(np.repeat(n, dim)),
+            })
+
+        out = ds0.map_batches(step, batch_format="pyarrow")
+        if last:
+            return out
+        parts = (
+            out.groupby(["cluster", "d"])
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        new_cent = cent.copy()
+        for cl, d, s, n in zip(parts["cluster"], parts["d"],
+                               parts["s"], parts["n"]):
+            if n > 0:
+                new_cent[int(cl), int(d)] = _trunc_div(
+                    np.int64(s), int(n))
+        cent = new_cent
+    raise AssertionError("unreachable")  # n_iters >= 1 returns above
+
+
+def kmeans_oracle_sql(n_clusters: int = 8, n_iters: int = 3) -> str:
+    """DuckDB mirror of :func:`kmeans_lloyd`: one assign CTE + one
+    update CTE per round, all integer."""
+    ctes = [
+        f"""xs AS (
+  SELECT vec_id,
+         CAST(CASE WHEN u >= 0 THEN floor(u * 1000000 + 0.5)
+              ELSE -floor(-u * 1000000 + 0.5) END AS BIGINT) AS xq, d
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+               unnest(range(len(embedding))) AS d FROM embeddings)
+)""",
+        f"""init AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+        LIMIT {n_clusters})
+)""",
+        """c0 AS (
+  SELECT i.cl AS cluster, xs.d, xs.xq AS cq
+  FROM init i JOIN xs ON xs.vec_id = i.vec_id
+)""",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(f"""dist{t} AS (
+  SELECT xs.vec_id, c.cluster,
+         sum((xs.xq - c.cq) * (xs.xq - c.cq))::BIGINT AS dist
+  FROM xs JOIN c{t - 1} c ON c.d = xs.d
+  GROUP BY xs.vec_id, c.cluster
+)""")
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM dist{t}
+  ) WHERE rn = 1
+)""")
+        if t < n_iters:
+            ctes.append(f"""c{t} AS (
+  SELECT c.cluster, c.d,
+         coalesce(u.cq, c.cq)::BIGINT AS cq
+  FROM c{t - 1} c LEFT JOIN (
+    SELECT a.cluster, xs.d,
+           (sum(xs.xq) // count(DISTINCT a.vec_id))::BIGINT AS cq
+    FROM a{t} a JOIN xs ON xs.vec_id = a.vec_id
+    GROUP BY a.cluster, xs.d
+  ) u ON u.cluster = c.cluster AND u.d = c.d
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, cluster, dist AS sq_dist FROM a{n_iters}")

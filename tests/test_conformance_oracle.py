@@ -88,6 +88,7 @@ SUBSET = [
     "events_rollup",
     "user_event_lag",
     "value_moments",
+    "kmeans_lloyd",
 ]
 
 

@@ -329,3 +329,27 @@ def test_global_line_dedup_removes_cross_doc_duplicates(
         "beta two\n   ".encode()).hexdigest()
     assert by_doc[2].n_lines_kept == 1
     assert by_doc[3].n_lines_kept == 1  # the single empty line
+
+
+def test_kmeans_lloyd_iterates_and_is_stable(ray_session):
+    """The fit must actually move: 3-round assignment differs from the
+    0-round (pinned-centroid) assignment somewhere, and reruns are
+    bit-identical (fixed-point integers leave no room for drift)."""
+    from semantic_pdf_search_engine_ray.pipelines.similarity import (
+        kmeans_lloyd,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    a = kmeans_lloyd(path, n_iters=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = kmeans_lloyd(path, n_iters=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"].values == b["cluster"].values).all()
+    assert (a["sq_dist"].values == b["sq_dist"].values).all()
+    first = kmeans_lloyd(path, n_iters=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"].values != first["cluster"].values).any(), \
+        "3 Lloyd rounds changed nothing — update step is dead"
+    # mean squared distance must not increase across rounds (Lloyd
+    # monotonicity, up to the 1-micro-unit truncation perturbation)
+    assert a["sq_dist"].mean() <= first["sq_dist"].mean() * 1.001
