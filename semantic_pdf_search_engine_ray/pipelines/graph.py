@@ -20,13 +20,16 @@ integer-cents money pipeline (`relational.py`). Dangling mass is
 dropped (the "rank leaks" formulation), keeping each round one edge
 join + one grouped sum on both sides.
 
-Scale shape: per round, the rank table (16 B/doc) hash-joins the edge
-list and the contributions pre-aggregate map-side inside Ray's hash
-groupby — no driver-side graph, no adjacency materialization. Rounds
-are a fixed, documented count (PageRank power iteration converges
-geometrically at damping 0.85; fixed-iteration is the standard batch
-formulation), so the whole job is ``2 * n_iters`` exchanges of
-corpus-×-avg-degree-sized tables.
+Scale shape (default, dense-id functional plan): rank state is one
+int64 vector per 32,768-doc chunk; each round is one map emitting
+sparse per-destination-chunk (idx, val) buffers and one chunk-keyed
+``groupby().map_groups`` scatter-add — measured ~30x faster than
+running the message aggregation through the generic sort/hash
+aggregate (BASELINE.md). The general join plan (edges x ranks hash
+join + grouped sum, the connected-components shape) remains for
+arbitrary edge lists and is pytest-pinned bit-equal. Rounds are a
+fixed, documented count (power iteration converges geometrically at
+damping 0.85; fixed-iteration is the standard batch formulation).
 """
 
 from __future__ import annotations
@@ -123,6 +126,7 @@ def pagerank(
     n_iters: int = 5,
     max_out: int = MAX_OUT_DEFAULT,
     num_partitions: int = 8,
+    functional_edges: bool = True,
 ) -> rd.Dataset:
     """Fixed-point PageRank over the derived link graph:
 
@@ -133,7 +137,23 @@ def pagerank(
 
     All integer (numpy int64 / DuckDB BIGINT), so ranks are
     bit-identical across engines and summation orders. Output:
-    (doc_id, rank_micro) after ``n_iters`` rounds."""
+    (doc_id, rank_micro) after ``n_iters`` rounds.
+
+    Two physical plans, identical results (pytest-pinned equal):
+
+    - ``functional_edges=True`` (default): the edge set is a pure
+      function of doc_id AND doc_ids are the dense range [0, N) (the
+      engine's deterministic doc_id contract), so rank state lives as
+      dense per-chunk int64 vectors and each round is one map + one
+      chunk-keyed buffer exchange — no edge table, no join, no
+      key-row aggregate (see `_pagerank_functional`). Use the join
+      plan for sparse/arbitrary id spaces.
+    - ``functional_edges=False``: general plan for a materialized edge
+      list — per round one edges-x-ranks hash join plus the grouped
+      sum (the connected-components physical shape, linear in |E|;
+      soaked at 1M/2M edges in BASELINE.md)."""
+    if functional_edges:
+        return _pagerank_functional(docs, n_docs, n_iters, max_out)
     edges = derive_edges(docs, n_docs, max_out=max_out).materialize()
     outdeg = edges.groupby("src").aggregate(Count(alias_name="deg"))
     edges_deg = edges.join(
@@ -269,3 +289,132 @@ LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY src) o
 LEFT JOIN (SELECT dst, count(*)::BIGINT AS c FROM edges GROUP BY dst) i
        ON i.dst = d.doc_id
 """
+
+
+PR_CHUNK = 1 << 15  # docs per dense rank chunk (32,768 x 8 B = 256 KB)
+
+
+def _pagerank_functional(
+    docs: rd.Dataset, n_docs: int, n_iters: int, max_out: int
+) -> rd.Dataset:
+    """Join-free PageRank for functionally-derived edges, with the
+    grouped sum replaced by a CHUNKED DENSE-VECTOR reduction.
+
+    Why: the message aggregation's key space is the dense integer range
+    [0, N), and Ray's generic sort/hash aggregate is ~30x slower than a
+    numpy scatter-add on that shape (measured: 28-57 s vs 1.3 s for 3M
+    messages over 1M keys, BASELINE.md). So rank state lives as one row
+    per 32,768-doc chunk holding an int64 vector; each round is:
+
+      map   : per state chunk, re-derive out-edges map-side and bucket
+              integer contributions into per-DESTINATION-chunk sparse
+              (idx, val) byte buffers — plus an empty marker for the
+              chunk itself so every chunk survives the exchange;
+      reduce: groupby(chunk) over ~P x fan-in small buffer rows;
+              np.add.at scatter-adds into the dense chunk vector
+              (int64, exact), then the teleport + damping update.
+
+    One exchange per round, buffers instead of 3M key rows, all
+    arithmetic int64 — bit-identical to the join plan and the SQL
+    mirror (pytest-pinned). The chunk layout is also the multi-node
+    partitioning story: chunk ranges ARE the hash-free partitioning
+    key, and per-chunk state is O(chunk), never O(N), on any worker."""
+    base_r = SCALE // n_docs
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n_docs
+    n_chunks = (n_docs + PR_CHUNK - 1) // PR_CHUNK
+
+    def chunk_len(c: int) -> int:
+        return min(PR_CHUNK, n_docs - c * PR_CHUNK)
+
+    state = rd.from_arrow(pa.table({
+        "chunk": pa.array(range(n_chunks), type=pa.int64()),
+        "r": pa.array(
+            [np.full(chunk_len(c), base_r, dtype=np.int64).tobytes()
+             for c in range(n_chunks)],
+            type=pa.binary()),
+    })).repartition(min(n_chunks, 32)).materialize()
+
+    empty = b""
+
+    def emit(t: pa.Table) -> pa.Table:
+        out_c: list[int] = []
+        out_idx: list[bytes] = []
+        out_val: list[bytes] = []
+        for c, rb in zip(t.column("chunk").to_pylist(),
+                         t.column("r").to_pylist()):
+            r = np.frombuffer(rb, dtype=np.int64)
+            # marker row: every chunk reaches the reducer even with no
+            # inbound mass (isolated ranges still get the teleport term)
+            out_c.append(c)
+            out_idx.append(empty)
+            out_val.append(empty)
+            per: dict[int, tuple[list[int], list[int]]] = {}
+            base_id = c * PR_CHUNK
+            for i in range(len(r)):
+                d = base_id + i
+                dsts = [x for x in (
+                    md5_hash64(f"edge:{d}:{j}") % n_docs
+                    for j in range(1 + d % max_out)
+                ) if x != d]
+                if not dsts:
+                    continue
+                cv = int(r[i]) // len(dsts)
+                for x in dsts:
+                    tc = x // PR_CHUNK
+                    sl = per.get(tc)
+                    if sl is None:
+                        sl = ([], [])
+                        per[tc] = sl
+                    sl[0].append(x - tc * PR_CHUNK)
+                    sl[1].append(cv)
+            for tc, (idxs, vals) in per.items():
+                out_c.append(tc)
+                out_idx.append(np.asarray(idxs, dtype=np.int32).tobytes())
+                out_val.append(np.asarray(vals, dtype=np.int64).tobytes())
+        return pa.table({
+            "chunk": pa.array(out_c, type=pa.int64()),
+            "idx": pa.array(out_idx, type=pa.binary()),
+            "val": pa.array(out_val, type=pa.binary()),
+        })
+
+    def reduce(group: pa.Table) -> pa.Table:
+        c = group.column("chunk")[0].as_py()
+        acc = np.zeros(chunk_len(c), dtype=np.int64)
+        for ib, vb in zip(group.column("idx").to_pylist(),
+                          group.column("val").to_pylist()):
+            if ib:
+                np.add.at(acc, np.frombuffer(ib, dtype=np.int32),
+                          np.frombuffer(vb, dtype=np.int64))
+        r_new = teleport + (DAMP_NUM * acc) // DAMP_DEN
+        return pa.table({
+            "chunk": pa.array([c], type=pa.int64()),
+            "r": pa.array([r_new.tobytes()], type=pa.binary()),
+        })
+
+    for _ in range(n_iters):
+        state = (
+            state.map_batches(emit, batch_format="pyarrow")
+            .groupby("chunk")
+            .map_groups(reduce, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[np.ndarray] = []
+        rs: list[np.ndarray] = []
+        for c, rb in zip(t.column("chunk").to_pylist(),
+                         t.column("r").to_pylist()):
+            r = np.frombuffer(rb, dtype=np.int64)
+            ids.append(c * PR_CHUNK + np.arange(len(r), dtype=np.int64))
+            rs.append(r)
+        if not ids:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "rank_micro": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "rank_micro": pa.array(np.concatenate(rs)),
+        })
+
+    return state.map_batches(explode, batch_format="pyarrow")

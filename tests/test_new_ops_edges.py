@@ -310,3 +310,18 @@ def test_link_graph_invariants(ray_session):
     a = pr.sort_values("doc_id").reset_index(drop=True)
     b = pr8.sort_values("doc_id").reset_index(drop=True)
     assert (a["rank_micro"].values == b["rank_micro"].values).all()
+
+
+def test_pagerank_plans_bit_equal(ray_session):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(80)), type=pa.int64()),
+    }))
+    fn = gr.pagerank(docs, 80, n_iters=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    jn = gr.pagerank(docs, 80, n_iters=4,
+                     functional_edges=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (fn["rank_micro"].values == jn["rank_micro"].values).all()
