@@ -2948,6 +2948,13 @@ def q_kmeans_lloyd(sf_dir: str) -> rd.Dataset:
     return sim.kmeans_lloyd(embeddings_path(sf_dir))
 
 
+def q_global_quantiles(sf_dir: str) -> pa.Table:
+    """Exact global p50/p95/p99 via the domain-bounded cents histogram
+    (no sort; exchange is (bin, count) partials)."""
+    events = rd.read_parquet(events_path(sf_dir), columns=["value"])
+    return win.global_quantiles_histogram(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3087,6 +3094,14 @@ SELECT event_type, hour,
 FROM h GROUP BY ROLLUP(event_type, hour)
 """
 
+_SQL_GLOBAL_QUANTILES = """
+SELECT 0.5::DOUBLE AS q, quantile_disc(value, 0.5) AS value FROM events
+UNION ALL
+SELECT 0.95::DOUBLE, quantile_disc(value, 0.95) FROM events
+UNION ALL
+SELECT 0.99::DOUBLE, quantile_disc(value, 0.99) FROM events
+"""
+
 _SQL_VALUE_MOMENTS = """
 WITH c AS (
   SELECT event_type,
@@ -3223,6 +3238,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "value_moments": q_value_moments,
     "kmeans_lloyd": q_kmeans_lloyd,
+    "global_quantiles": q_global_quantiles,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3327,6 +3343,7 @@ ORACLE_SQL = {
     "events_rollup": _SQL_EVENTS_ROLLUP,
     "value_moments": _SQL_VALUE_MOMENTS,
     "kmeans_lloyd": _SQL_KMEANS,
+    "global_quantiles": _SQL_GLOBAL_QUANTILES,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -436,3 +436,52 @@ def value_moments(events: rd.Dataset, key: str = "event_type") -> rd.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def global_quantiles_histogram(
+    events: rd.Dataset, qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> pa.Table:
+    """EXACT global quantiles without any sort — the scale path for
+    bounded-precision numeric columns (here 2-decimal money-like
+    values): the whole distribution reduces to a cents histogram whose
+    size is bounded by the value DOMAIN (~49k bins), not the row count,
+    so a 10^12-row column still exchanges only (bin, count) partials.
+    Selection walks the cumulative histogram to the same
+    ``ceil(q*n)-1`` index `value_quantiles` uses, and ``cent/100.0`` is
+    the identical IEEE double the source stored (both are the nearest
+    double to the exact 2-decimal rational — asserted on the fixture),
+    so the result is bit-identical to DuckDB's ``quantile_disc`` over
+    the raw column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        cents, counts = np.unique(c, return_counts=True)
+        return pa.table({
+            "cent": pa.array(cents),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    hist = (
+        events.select_columns(["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cent")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # domain-bounded: <=|distinct cents| rows
+        .sort_values("cent")
+    )
+    import math
+
+    cents = hist["cent"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(int(math.ceil(q * n)) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        out_q.append(q)
+        out_v.append(float(cents[pos] / 100.0))
+    return pa.table({
+        "q": pa.array(out_q, type=pa.float64()),
+        "value": pa.array(out_v, type=pa.float64()),
+    })

@@ -89,6 +89,7 @@ SUBSET = [
     "user_event_lag",
     "value_moments",
     "kmeans_lloyd",
+    "global_quantiles",
 ]
 
 
