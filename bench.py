@@ -207,7 +207,8 @@ def run_bench() -> dict:
                  "link_degrees", "pagerank", "hll_distinct_users",
                  "local_supplier_revenue", "promo_revenue_share",
                  "events_rollup", "user_event_lag", "value_moments",
-                 "kmeans_lloyd", "global_quantiles"):
+                 "kmeans_lloyd", "global_quantiles",
+                 "curation_pipeline"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

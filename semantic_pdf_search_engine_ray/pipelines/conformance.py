@@ -2955,6 +2955,56 @@ def q_global_quantiles(sf_dir: str) -> pa.Table:
     return win.global_quantiles_histogram(events)
 
 
+def q_curation_pipeline(sf_dir: str) -> rd.Dataset:
+    """The END-TO-END curation chain a training-data user actually
+    runs, composed from the engine's own stages with the survivor set
+    checkpointed to parquet between phases (the resumable-output
+    contract):
+
+      1. quality_filter      (fused C4/Gopher keep filter)
+      2. decontaminate_apply (benchmark 13-gram exclusion, full-corpus
+                              benchmark membership)
+      -> survivors = intersection, SEMI-joined against the corpus and
+         spilled to partitioned parquet
+      3. global_line_dedup   over the survivor corpus (cross-doc
+                              first-occurrence now scoped to survivors)
+      4. split_assign        (hash train/val/test)
+
+    Output per surviving doc: line-dedup evidence (n_lines_in,
+    n_lines_kept, cleaned_md5) + split columns. The oracle is the SAME
+    composition in one SQL statement — every stage's semantics checked
+    through the chain, not just in isolation."""
+    import shutil as _shutil
+
+    from semantic_pdf_search_engine_ray.pipelines import sampling as smp
+
+    docs = read_docs(sf_dir)
+    qf_ids = ts.quality_filter_apply(docs).select_columns(["doc_id"])
+    ok_ids = dd.apply_decontamination(
+        read_docs(sf_dir), benchmark_mod=7, n=13
+    ).select_columns(["doc_id"])
+
+    survivors = (
+        docs.join(qf_ids.materialize(), "left_semi", 4, on=("doc_id",),
+                  right_on=("doc_id",))
+        .join(ok_ids.materialize(), "left_semi", 4, on=("doc_id",),
+              right_on=("doc_id",))
+    )
+    spill = f"/tmp/spse_curation_{_sf_cache_key(sf_dir)}"
+    _shutil.rmtree(spill, ignore_errors=True)
+    survivors.write_parquet(spill)
+
+    ld = dd.global_line_dedup(spill)
+    split = smp.split_assign(
+        rd.read_parquet(spill, columns=["doc_id"])
+    ).select_columns(["doc_id", "bucket", "split"])
+    return ld.join(
+        split.materialize(), "inner", 4,
+        on=("doc_id",), right_on=("doc_id",),
+    ).select_columns(["doc_id", "n_lines_in", "n_lines_kept",
+                      "cleaned_md5", "bucket", "split"])
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3133,6 +3183,47 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
 """
 
+_SQL_CURATION_PIPELINE = f"""
+WITH qf AS (SELECT doc_id FROM ({_SQL_QUALITY_FILTER})),
+ok AS (SELECT doc_id FROM ({_SQL_DECONTAMINATE_APPLY})),
+surv AS (SELECT doc_id FROM qf INTERSECT SELECT doc_id FROM ok),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+       WHERE doc_id IN (SELECT doc_id FROM surv)),
+ln AS (
+  SELECT doc_id, unnest(l) AS line,
+         unnest(generate_series(1, len(l))) AS idx
+  FROM ls
+),
+marked AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN trim(line, ' ' || chr(9) || chr(13)) = '' THEN TRUE
+              ELSE row_number() OVER (
+                     PARTITION BY CASE
+                       WHEN trim(line, ' ' || chr(9) || chr(13)) = ''
+                       THEN NULL ELSE md5(line) END
+                     ORDER BY doc_id, idx) = 1
+         END AS kept
+  FROM ln
+),
+ld AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_lines_in,
+         (count(*) FILTER (WHERE kept))::BIGINT AS n_lines_kept,
+         md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                      FILTER (WHERE kept), '')) AS cleaned_md5
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_lines_in, n_lines_kept, cleaned_md5,
+       CAST(md5_number_lower('split:' || doc_id::VARCHAR) % 100
+            AS BIGINT) AS bucket,
+       CASE WHEN md5_number_lower('split:' || doc_id::VARCHAR) % 100 < 80
+              THEN 'train'
+            WHEN md5_number_lower('split:' || doc_id::VARCHAR) % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM ld
+"""
+
 _SQL_SPLIT_ASSIGN = """
 WITH b AS (
   SELECT doc_id,
@@ -3239,6 +3330,7 @@ QUERIES = {
     "value_moments": q_value_moments,
     "kmeans_lloyd": q_kmeans_lloyd,
     "global_quantiles": q_global_quantiles,
+    "curation_pipeline": q_curation_pipeline,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3344,6 +3436,7 @@ ORACLE_SQL = {
     "value_moments": _SQL_VALUE_MOMENTS,
     "kmeans_lloyd": _SQL_KMEANS,
     "global_quantiles": _SQL_GLOBAL_QUANTILES,
+    "curation_pipeline": _SQL_CURATION_PIPELINE,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -90,6 +90,7 @@ SUBSET = [
     "value_moments",
     "kmeans_lloyd",
     "global_quantiles",
+    "curation_pipeline",
 ]
 
 
