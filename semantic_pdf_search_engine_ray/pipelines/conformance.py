@@ -1709,6 +1709,12 @@ SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
 FROM hits
 """
 
+_SQL_LANG_CONFUSION = f"""
+SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n_docs
+FROM documents d JOIN ({_SQL_LANG_ID}) p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.pred_lang
+"""
+
 _SQL_FINGERPRINT = f"""
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text, {_TRIM_CHARS})),
@@ -3005,6 +3011,13 @@ def q_curation_pipeline(sf_dir: str) -> rd.Dataset:
                       "cleaned_md5", "bucket", "split"])
 
 
+def q_lang_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID confusion matrix (predicted vs labeled)."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["doc_id", "text", "lang"])
+    return ts.lang_confusion(docs)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3331,6 +3344,7 @@ QUERIES = {
     "kmeans_lloyd": q_kmeans_lloyd,
     "global_quantiles": q_global_quantiles,
     "curation_pipeline": q_curation_pipeline,
+    "lang_confusion": q_lang_confusion,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3437,6 +3451,7 @@ ORACLE_SQL = {
     "kmeans_lloyd": _SQL_KMEANS,
     "global_quantiles": _SQL_GLOBAL_QUANTILES,
     "curation_pipeline": _SQL_CURATION_PIPELINE,
+    "lang_confusion": _SQL_LANG_CONFUSION,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -1070,3 +1070,40 @@ def source_token_kl(docs: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lang_confusion(docs: rd.Dataset) -> rd.Dataset:
+    """Language-ID evaluation: confusion matrix of predicted vs
+    LABELED language — the eval every classifier stage needs before it
+    gates a corpus. One fused pass (LangIdStage's argmax per doc, then
+    an in-batch (label, pred) partial count) so the exchange is at most
+    |langs|^2 rows per block; a tiny grouped sum finishes."""
+    from ray.data.aggregate import Sum
+
+    stage = LangIdStage()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = stage(batch)
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "pred_lang": pred.column("pred_lang"),
+        })
+        return (
+            t.group_by(["lang", "pred_lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "pred_lang", "n"])
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .map_batches(
+            lambda t: pa.table({
+                "lang": t.column("lang"),
+                "pred_lang": t.column("pred_lang"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

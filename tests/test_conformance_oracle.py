@@ -91,6 +91,7 @@ SUBSET = [
     "kmeans_lloyd",
     "global_quantiles",
     "curation_pipeline",
+    "lang_confusion",
 ]
 
 
