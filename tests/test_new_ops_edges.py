@@ -325,3 +325,65 @@ def test_pagerank_plans_bit_equal(ray_session):
                      functional_edges=False).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (fn["rank_micro"].values == jn["rank_micro"].values).all()
+
+
+def test_rollup_levels_consistent(ray_session):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.windows import (
+        rollup_events,
+    )
+
+    events = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["ts", "event_type", "value"])
+    out = rollup_events(events).to_pandas()
+    detail = out[out["hour"].notna() & out["event_type"].notna()]
+    per_key = out[out["hour"].isna() & out["event_type"].notna()]
+    total = out[out["event_type"].isna()]
+    assert len(total) == 1
+    # every level must re-add to the same grand totals
+    assert detail["n_events"].sum() == total["n_events"].iloc[0]
+    assert per_key["n_events"].sum() == total["n_events"].iloc[0]
+    assert detail["value_c"].sum() == total["value_c"].iloc[0]
+
+
+def test_global_quantiles_bracket_the_distribution(ray_session):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.windows import (
+        global_quantiles_histogram,
+    )
+
+    events = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["value"])
+    out = global_quantiles_histogram(events).to_pandas()
+    v = dict(zip(out["q"], out["value"]))
+    assert v[0.5] <= v[0.95] <= v[0.99]
+    raw = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                          columns=["value"]).to_pandas()["value"]
+    assert raw.min() <= v[0.5] <= raw.max()
+
+
+def test_value_moments_nonnegative_variance(ray_session):
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines.windows import (
+        value_moments,
+    )
+
+    events = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["event_type", "value"])
+    out = value_moments(events).to_pandas()
+    assert (out["var_r"] >= 0).all()
+    # std is rounded at 6 dp, so std^2 carries ~2*std*1e-6 of rounding
+    tol = 2 * out["std_r"] * 1e-6 + 1e-6
+    assert ((out["std_r"] ** 2 - out["var_r"]).abs() <= tol).all()
+
+
+def test_curation_pipeline_rerun_stable(ray_session):
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    a = cf.QUERIES["curation_pipeline"]("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = cf.QUERIES["curation_pipeline"]("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # survivors are a strict, non-empty subset of the corpus
+    assert 0 < len(a) < 500
