@@ -208,7 +208,8 @@ def run_bench() -> dict:
                  "local_supplier_revenue", "promo_revenue_share",
                  "events_rollup", "user_event_lag", "value_moments",
                  "kmeans_lloyd", "global_quantiles",
-                 "curation_pipeline", "lang_confusion"):
+                 "curation_pipeline", "lang_confusion",
+                 "bm25_static_rank"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -3018,6 +3018,54 @@ def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     return ts.lang_confusion(docs)
 
 
+def q_bm25_static_rank(sf_dir: str) -> pa.Table:
+    """Web-search static-rank blending: score = BM25 + 0.1*ln(PageRank
+    micro-units), applied over the match set only. The prior comes from
+    the fixed-point PageRank (bit-exact across engines), so the only
+    float novelty vs plain BM25 is the identically-written ln term."""
+    import numpy as np
+
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+    from semantic_pdf_search_engine_ray.stages.query import (
+        IndexReader, score_query_batch,
+    )
+
+    index_dir = ensure_index(sf_dir)
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    n_docs = docs.count()
+    pr = gr.pagerank(docs, n_docs, n_iters=5).to_pandas()
+    # toy-scale dense prior; at corpus scale this is a doc-store column
+    # resolved once per actor (the facet-column pattern)
+    prior = np.zeros(n_docs, dtype=np.float64)
+    prior[pr["doc_id"].to_numpy()] = 0.1 * np.log(
+        pr["rank_micro"].to_numpy().astype(np.float64))
+    prior_ref = ray.put(prior)
+    queries = derive_query_table(index_dir)
+
+    class BlendedActor:
+        def __init__(self):
+            self.reader = IndexReader(index_dir)
+            self.prior = ray.get(prior_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return score_query_batch(
+                batch,
+                lambda q, k: self.reader.top_k_blended(q, k, self.prior),
+                TOP_K,
+            )
+
+    res = _collect(
+        rd.from_arrow(queries).map_batches(
+            BlendedActor, batch_format="pyarrow", concurrency=2,
+            batch_size=64,
+        )
+    )
+    res = _round_col(res, "score")
+    return res.rename_columns(
+        ["query_id", "rank", "doc_id", "blended_r"]
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3106,6 +3154,44 @@ from semantic_pdf_search_engine_ray.pipelines.sketch import (
 from semantic_pdf_search_engine_ray.pipelines.similarity import (
     kmeans_oracle_sql as _kmeans_oracle_sql,
 )
+from semantic_pdf_search_engine_ray.pipelines.graph import (
+    pagerank_oracle_ctes as _pagerank_oracle_ctes,
+)
+
+_PR_CTES = ",\n".join(_pagerank_oracle_ctes(n_iters=5))
+
+_SQL_BM25_STATIC_RANK = f"""
+WITH {_TOKS_CTE},
+{_PR_CTES},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+blended AS (
+  SELECT sc.query_id, sc.doc_id, sc.score + 0.1 * ln(p.r) AS b
+  FROM scores sc JOIN r5 p ON p.doc_id = sc.doc_id
+)
+SELECT query_id, rank, doc_id, blended_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY b DESC, doc_id ASC)::BIGINT AS rank,
+         round(b, 6) AS blended_r
+  FROM blended
+) WHERE rank <= {TOP_K}
+"""
 
 _SQL_KMEANS = _kmeans_oracle_sql(n_clusters=8, n_iters=3)
 
@@ -3345,6 +3431,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "curation_pipeline": q_curation_pipeline,
     "lang_confusion": q_lang_confusion,
+    "bm25_static_rank": q_bm25_static_rank,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3452,6 +3539,7 @@ ORACLE_SQL = {
     "global_quantiles": _SQL_GLOBAL_QUANTILES,
     "curation_pipeline": _SQL_CURATION_PIPELINE,
     "lang_confusion": _SQL_LANG_CONFUSION,
+    "bm25_static_rank": _SQL_BM25_STATIC_RANK,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

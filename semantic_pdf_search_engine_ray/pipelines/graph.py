@@ -228,12 +228,12 @@ def pagerank(
     )
 
 
-def pagerank_oracle_sql(
+def pagerank_oracle_ctes(
     n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT
-) -> str:
-    """DuckDB mirror: same edge derivation, same fixed-point update,
-    one CTE per iteration (standard SQL; no recursive-CTE aggregate
-    restrictions to fight)."""
+) -> list:
+    """The CTE chain of the PageRank mirror (composable into larger
+    statements, e.g. static-rank blended search); final ranks are in
+    ``r{n_iters}`` as (doc_id, r)."""
     teleport_expr = f"(({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // n.nd)"
     ctes = [
         "n AS (SELECT count(*)::BIGINT AS nd FROM documents)",
@@ -265,6 +265,16 @@ def pagerank_oracle_sql(
     GROUP BY e.dst
   ) c ON c.doc_id = d.doc_id
 )""")
+    return ctes
+
+
+def pagerank_oracle_sql(
+    n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT
+) -> str:
+    """DuckDB mirror: same edge derivation, same fixed-point update,
+    one CTE per iteration (standard SQL; no recursive-CTE aggregate
+    restrictions to fight)."""
+    ctes = pagerank_oracle_ctes(n_iters, max_out)
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT doc_id, r AS rank_micro FROM r{n_iters}")
 

@@ -492,6 +492,34 @@ class IndexReader:
         plan for the filtered candidate mass)."""
         return self.top_k_exhaustive(query, k, allowed=allowed)
 
+    def top_k_blended(
+        self, query: str, k: int, prior: np.ndarray
+    ) -> list[tuple[int, float]]:
+        """Web-search static-rank blending: final score = BM25 +
+        ``prior[doc]`` (e.g. a damped log-PageRank), applied ONLY to
+        docs matching at least one query term — the prior re-orders the
+        match set, it never admits non-matching docs. ``prior`` is a
+        dense float64 array over the doc space (at corpus scale: a
+        doc-store column resolved once per actor, like the facet
+        column). Tie-break stays (score DESC, doc_id ASC)."""
+        allowed = self._live(None)
+        scores = np.zeros(len(self.doc_len), dtype=np.float64)
+        touched = False
+        for term in query_terms(query):
+            w = self._weight(term)
+            if w == 0.0:
+                continue
+            ids, tfn = self._term_tfn(term)
+            scores[ids] += w * tfn
+            touched = True
+        if not touched:
+            return []
+        if allowed is not None:
+            scores[~allowed] = 0.0
+        matched = scores > 0.0
+        scores[matched] += prior[matched]
+        return self._topk_from_scores(scores, k)
+
     def top_k_auto(self, query: str, k: int) -> list[tuple[int, float]]:
         """Cost-based choice between WAND and exhaustive scoring.
 

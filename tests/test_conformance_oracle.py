@@ -92,6 +92,7 @@ SUBSET = [
     "global_quantiles",
     "curation_pipeline",
     "lang_confusion",
+    "bm25_static_rank",
 ]
 
 

@@ -387,3 +387,28 @@ def test_curation_pipeline_rerun_stable(ray_session):
     assert a.equals(b)
     # survivors are a strict, non-empty subset of the corpus
     assert 0 < len(a) < 500
+
+
+def test_static_rank_blending_reorders(ray_session):
+    """The PageRank prior must actually influence ranking (not a
+    vacuous pass-through) while never admitting non-matching docs."""
+    import numpy as np
+
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+    index_dir = cf.ensure_index("/root/testdata/sf0.001")
+    r = IndexReader(index_dir)
+    head = cf.derive_query_table(index_dir).column("query").to_pylist()
+    prior = np.zeros(len(r.doc_len))
+    # adversarial prior: strongly boost odd doc_ids
+    prior[1::2] = 100.0
+    changed = False
+    for q in head[:10]:
+        plain = [d for d, _ in r.top_k_exhaustive(q, 5)]
+        blend = [d for d, _ in r.top_k_blended(q, 5, prior)]
+        matched = {d for d, _ in r.top_k_exhaustive(q, 10_000)}
+        assert set(blend) <= matched
+        if blend != plain:
+            changed = True
+    assert changed
