@@ -384,9 +384,10 @@ def cluster_assign(
     emb_col: str = "embedding",
 ) -> rd.Dataset:
     """(vec_id, cluster): nearest of ``n_clusters`` PINNED centroids (the
-    lowest-vec_id vectors — deterministic and SQL-expressible, unlike an
-    iterated Lloyd fit; ``kmeans_centroids`` remains the quantizer for
-    the IVF path). Cosine is rounded to 6 dp BEFORE the argmax on both
+    lowest-vec_id vectors — deterministic and SQL-expressible without
+    iteration; the ITERATED Lloyd fit is also oracle-checked now via
+    the fixed-point formulation, :func:`kmeans_lloyd`;
+    ``kmeans_centroids`` remains the quantizer for the IVF path). Cosine is rounded to 6 dp BEFORE the argmax on both
     engines, ties break toward the lower cluster id — so a distributed
     run and the oracle pick identical clusters even at near-ties.
 
