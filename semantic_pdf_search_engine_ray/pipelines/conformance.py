@@ -3066,6 +3066,17 @@ def q_bm25_static_rank(sf_dir: str) -> pa.Table:
     ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+def q_hits_scores(sf_dir: str) -> rd.Dataset:
+    """Kleinberg HITS (2 integer fixed-point rounds on the
+    materialized edge list — the reversed-edge gather PageRank's
+    functional plan cannot do; each half-round is a hash join + grouped
+    sum, so the toy-scale cost is ~9 fixed executor launches)."""
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    return gr.hits_scores(docs, n_docs=docs.count(), n_iters=2)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3159,6 +3170,12 @@ from semantic_pdf_search_engine_ray.pipelines.graph import (
 )
 
 _PR_CTES = ",\n".join(_pagerank_oracle_ctes(n_iters=5))
+
+from semantic_pdf_search_engine_ray.pipelines.graph import (
+    hits_oracle_sql as _hits_oracle_sql,
+)
+
+_SQL_HITS = _hits_oracle_sql(n_iters=2)
 
 _SQL_BM25_STATIC_RANK = f"""
 WITH {_TOKS_CTE},
@@ -3432,6 +3449,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "lang_confusion": q_lang_confusion,
     "bm25_static_rank": q_bm25_static_rank,
+    "hits_scores": q_hits_scores,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3540,6 +3558,7 @@ ORACLE_SQL = {
     "curation_pipeline": _SQL_CURATION_PIPELINE,
     "lang_confusion": _SQL_LANG_CONFUSION,
     "bm25_static_rank": _SQL_BM25_STATIC_RANK,
+    "hits_scores": _SQL_HITS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

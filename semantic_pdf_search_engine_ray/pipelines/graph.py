@@ -428,3 +428,130 @@ def _pagerank_functional(
         })
 
     return state.map_batches(explode, batch_format="pyarrow")
+
+
+HITS_INIT = 1_000_000  # hub micro-units at round 0
+
+
+def hits_scores(
+    docs: rd.Dataset,
+    n_docs: int,
+    n_iters: int = 3,
+    max_out: int = MAX_OUT_DEFAULT,
+    num_partitions: int = 4,
+) -> rd.Dataset:
+    """Kleinberg HITS, unnormalized fixed-iteration integer form:
+
+        h_0(v)     = 1e6
+        a_{t+1}(v) = sum_{u->v} h_t(u)       (authority <- in-edges)
+        h_{t+1}(v) = sum_{v->u} a_{t+1}(u)   (hub <- out-edges)
+
+    Normalization is deliberately dropped (it would need a float norm
+    per round); relative order per round is unchanged and every value
+    stays an exact int64, so the SQL mirror is value-identical. Unlike
+    PageRank's forward-only propagation, the hub update gathers along
+    REVERSED edges — not computable map-side from the functional edge
+    rule — so this operator uses the materialized edge list with one
+    hash join + grouped sum per half-round (the general graph plan).
+    Output: (doc_id, authority_micro, hub_micro) after ``n_iters``
+    full rounds."""
+    edges = derive_edges(docs, n_docs, max_out=max_out).materialize()
+    doc_ids = docs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def const_col(name: str, val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                name: pa.array(np.full(len(t), val, dtype=np.int64)),
+            })
+        return fn
+
+    def zeros(name: str):
+        return const_col(name, 0)
+
+    hub = doc_ids.map_batches(const_col("v", HITS_INIT),
+                              batch_format="pyarrow").materialize()
+
+    def propagate(state: rd.Dataset, src_col: str, dst_col: str):
+        """sum state.v of the ``src_col`` endpoint into the
+        ``dst_col`` endpoint; zero rows keep isolated docs alive."""
+        msgs = edges.join(
+            state, "inner", num_partitions,
+            on=(src_col,), right_on=("doc_id",), right_suffix="_r",
+        ).map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column(dst_col).cast(pa.int64()),
+                "v": t.column("v").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        return (
+            msgs.union(doc_ids.map_batches(zeros("v"),
+                                           batch_format="pyarrow"))
+            .groupby("doc_id")
+            .aggregate(Sum("v", alias_name="v"))
+            .map_batches(
+                lambda t: pa.table({
+                    "doc_id": t.column("doc_id").cast(pa.int64()),
+                    "v": t.column("v").cast(pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    auth = None
+    for _ in range(n_iters):
+        auth = propagate(hub, "src", "dst")
+        hub = propagate(auth, "dst", "src")
+
+    return auth.rename_columns({"v": "authority_micro"}).join(
+        hub.rename_columns({"v": "hub_micro"}), "inner", num_partitions,
+        on=("doc_id",), right_on=("doc_id",), right_suffix="_r",
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "authority_micro": t.column("authority_micro").cast(pa.int64()),
+            "hub_micro": t.column("hub_micro").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def hits_oracle_sql(n_iters: int = 3, max_out: int = MAX_OUT_DEFAULT) -> str:
+    """DuckDB mirror: one (authority, hub) CTE pair per round."""
+    ctes = [
+        "n AS (SELECT count(*)::BIGINT AS nd FROM documents)",
+        f"""edges AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST(md5_number_lower('edge:' || d.doc_id::VARCHAR || ':'
+                                 || j::VARCHAR) % n.nd AS BIGINT) AS dst
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % {max_out}))
+                 AS j FROM documents) d, n
+  ) WHERE dst != src
+)""",
+        f"h0 AS (SELECT doc_id, {HITS_INIT}::BIGINT AS v FROM documents)",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT d.doc_id, coalesce(m.s, 0)::BIGINT AS v
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.v)::BIGINT AS s
+    FROM h{t - 1} p JOIN edges e ON e.src = p.doc_id GROUP BY e.dst
+  ) m ON m.doc_id = d.doc_id
+)""")
+        ctes.append(f"""h{t} AS (
+  SELECT d.doc_id, coalesce(m.s, 0)::BIGINT AS v
+  FROM documents d LEFT JOIN (
+    SELECT e.src AS doc_id, sum(p.v)::BIGINT AS s
+    FROM a{t} p JOIN edges e ON e.dst = p.doc_id GROUP BY e.src
+  ) m ON m.doc_id = d.doc_id
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT a.doc_id, a.v AS authority_micro, h.v AS hub_micro
+FROM a{n_iters} a JOIN h{n_iters} h ON h.doc_id = a.doc_id""")

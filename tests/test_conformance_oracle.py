@@ -93,6 +93,7 @@ SUBSET = [
     "curation_pipeline",
     "lang_confusion",
     "bm25_static_rank",
+    "hits_scores",
 ]
 
 
