@@ -209,7 +209,8 @@ def run_bench() -> dict:
                  "events_rollup", "user_event_lag", "value_moments",
                  "kmeans_lloyd", "global_quantiles",
                  "curation_pipeline", "lang_confusion",
-                 "bm25_static_rank", "hits_scores"):
+                 "bm25_static_rank", "hits_scores",
+                 "pagerank_seeded", "triangle_count"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -3077,6 +3077,26 @@ def q_hits_scores(sf_dir: str) -> rd.Dataset:
     return gr.hits_scores(docs, n_docs=docs.count(), n_iters=2)
 
 
+def q_pagerank_seeded(sf_dir: str) -> rd.Dataset:
+    """Personalized PageRank: restart mass only on the seed set
+    (doc_id % 10 == 0) — same fixed-point dense-chunk plan, seeded
+    teleport vector."""
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    return gr.pagerank(docs, n_docs=docs.count(), n_iters=5,
+                       seed_mod=10)
+
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    """Exact triangle count (canonical low->high orientation, wedge
+    self-join + closing semi-join)."""
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+    return gr.triangle_count(docs, n_docs=docs.count())
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3176,6 +3196,13 @@ from semantic_pdf_search_engine_ray.pipelines.graph import (
 )
 
 _SQL_HITS = _hits_oracle_sql(n_iters=2)
+
+from semantic_pdf_search_engine_ray.pipelines.graph import (
+    TRIANGLE_ORACLE_SQL as _SQL_TRIANGLES,
+    pagerank_oracle_sql as _pagerank_oracle_sql_fn,
+)
+
+_SQL_PAGERANK_SEEDED = _pagerank_oracle_sql_fn(n_iters=5, seed_mod=10)
 
 _SQL_BM25_STATIC_RANK = f"""
 WITH {_TOKS_CTE},
@@ -3450,6 +3477,8 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "bm25_static_rank": q_bm25_static_rank,
     "hits_scores": q_hits_scores,
+    "pagerank_seeded": q_pagerank_seeded,
+    "triangle_count": q_triangle_count,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3559,6 +3588,8 @@ ORACLE_SQL = {
     "lang_confusion": _SQL_LANG_CONFUSION,
     "bm25_static_rank": _SQL_BM25_STATIC_RANK,
     "hits_scores": _SQL_HITS,
+    "pagerank_seeded": _SQL_PAGERANK_SEEDED,
+    "triangle_count": _SQL_TRIANGLES,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -127,6 +127,7 @@ def pagerank(
     max_out: int = MAX_OUT_DEFAULT,
     num_partitions: int = 8,
     functional_edges: bool = True,
+    seed_mod: int | None = None,
 ) -> rd.Dataset:
     """Fixed-point PageRank over the derived link graph:
 
@@ -152,8 +153,12 @@ def pagerank(
       list — per round one edges-x-ranks hash join plus the grouped
       sum (the connected-components physical shape, linear in |E|;
       soaked at 1M/2M edges in BASELINE.md)."""
+    if seed_mod is not None and not functional_edges:
+        raise ValueError("personalized (seed_mod) PageRank is only "
+                         "implemented on the functional plan")
     if functional_edges:
-        return _pagerank_functional(docs, n_docs, n_iters, max_out)
+        return _pagerank_functional(docs, n_docs, n_iters, max_out,
+                                    seed_mod=seed_mod)
     edges = derive_edges(docs, n_docs, max_out=max_out).materialize()
     outdeg = edges.groupby("src").aggregate(Count(alias_name="deg"))
     edges_deg = edges.join(
@@ -229,14 +234,33 @@ def pagerank(
 
 
 def pagerank_oracle_ctes(
-    n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT
+    n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT,
+    seed_mod: int | None = None,
 ) -> list:
     """The CTE chain of the PageRank mirror (composable into larger
     statements, e.g. static-rank blended search); final ranks are in
-    ``r{n_iters}`` as (doc_id, r)."""
-    teleport_expr = f"(({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // n.nd)"
+    ``r{n_iters}`` as (doc_id, r). ``seed_mod`` switches to the
+    PERSONALIZED variant: teleport mass goes only to docs with
+    ``doc_id % seed_mod == 0`` instead of uniformly."""
+    if seed_mod is None:
+        teleport_expr = (
+            f"(({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // n.nd)")
+        init_expr = f"({SCALE} // n.nd)"
+    else:
+        teleport_expr = (
+            f"(CASE WHEN d.doc_id % {seed_mod} = 0 THEN "
+            f"(({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // n.ns) "
+            f"ELSE 0 END)")
+        init_expr = (
+            f"(CASE WHEN doc_id % {seed_mod} = 0 THEN "
+            f"({SCALE} // n.ns) ELSE 0 END)")
+    seed_count = (
+        "" if seed_mod is None else
+        f", (SELECT count(*) FROM documents"
+        f" WHERE doc_id % {seed_mod} = 0)::BIGINT AS ns")
     ctes = [
-        "n AS (SELECT count(*)::BIGINT AS nd FROM documents)",
+        "n AS (SELECT count(*)::BIGINT AS nd" + seed_count
+        + " FROM documents)",
         f"""edges AS (
   SELECT src, dst FROM (
     SELECT d.doc_id AS src,
@@ -248,7 +272,7 @@ def pagerank_oracle_ctes(
 )""",
         """outdeg AS (SELECT src, count(*)::BIGINT AS deg
            FROM edges GROUP BY src)""",
-        f"""r0 AS (SELECT doc_id, ({SCALE} // n.nd)::BIGINT AS r
+        f"""r0 AS (SELECT doc_id, {init_expr}::BIGINT AS r
           FROM documents, n)""",
     ]
     for i in range(1, n_iters + 1):
@@ -269,12 +293,13 @@ def pagerank_oracle_ctes(
 
 
 def pagerank_oracle_sql(
-    n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT
+    n_iters: int = 5, max_out: int = MAX_OUT_DEFAULT,
+    seed_mod: int | None = None,
 ) -> str:
     """DuckDB mirror: same edge derivation, same fixed-point update,
     one CTE per iteration (standard SQL; no recursive-CTE aggregate
     restrictions to fight)."""
-    ctes = pagerank_oracle_ctes(n_iters, max_out)
+    ctes = pagerank_oracle_ctes(n_iters, max_out, seed_mod=seed_mod)
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT doc_id, r AS rank_micro FROM r{n_iters}")
 
@@ -305,7 +330,8 @@ PR_CHUNK = 1 << 15  # docs per dense rank chunk (32,768 x 8 B = 256 KB)
 
 
 def _pagerank_functional(
-    docs: rd.Dataset, n_docs: int, n_iters: int, max_out: int
+    docs: rd.Dataset, n_docs: int, n_iters: int, max_out: int,
+    seed_mod: int | None = None,
 ) -> rd.Dataset:
     """Join-free PageRank for functionally-derived edges, with the
     grouped sum replaced by a CHUNKED DENSE-VECTOR reduction.
@@ -329,18 +355,40 @@ def _pagerank_functional(
     mirror (pytest-pinned). The chunk layout is also the multi-node
     partitioning story: chunk ranges ARE the hash-free partitioning
     key, and per-chunk state is O(chunk), never O(N), on any worker."""
-    base_r = SCALE // n_docs
-    teleport = (SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n_docs
     n_chunks = (n_docs + PR_CHUNK - 1) // PR_CHUNK
 
     def chunk_len(c: int) -> int:
         return min(PR_CHUNK, n_docs - c * PR_CHUNK)
 
+    tele_total = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    if seed_mod is None:
+        def init_vec(c: int) -> np.ndarray:
+            return np.full(chunk_len(c), SCALE // n_docs, dtype=np.int64)
+
+        def tele_vec(c: int, n: int) -> np.ndarray:
+            return np.full(n, tele_total // n_docs, dtype=np.int64)
+    else:
+        # personalized: restart mass concentrates on the seed set
+        # (doc_id % seed_mod == 0); everything else stays identical
+        n_seeds = (n_docs + seed_mod - 1) // seed_mod
+
+        def _seed_mask(c: int, n: int) -> np.ndarray:
+            ids = c * PR_CHUNK + np.arange(n, dtype=np.int64)
+            return ids % seed_mod == 0
+
+        def init_vec(c: int) -> np.ndarray:
+            n = chunk_len(c)
+            return np.where(_seed_mask(c, n), SCALE // n_seeds,
+                            0).astype(np.int64)
+
+        def tele_vec(c: int, n: int) -> np.ndarray:
+            return np.where(_seed_mask(c, n), tele_total // n_seeds,
+                            0).astype(np.int64)
+
     state = rd.from_arrow(pa.table({
         "chunk": pa.array(range(n_chunks), type=pa.int64()),
         "r": pa.array(
-            [np.full(chunk_len(c), base_r, dtype=np.int64).tobytes()
-             for c in range(n_chunks)],
+            [init_vec(c).tobytes() for c in range(n_chunks)],
             type=pa.binary()),
     })).repartition(min(n_chunks, 32)).materialize()
 
@@ -395,7 +443,7 @@ def _pagerank_functional(
             if ib:
                 np.add.at(acc, np.frombuffer(ib, dtype=np.int32),
                           np.frombuffer(vb, dtype=np.int64))
-        r_new = teleport + (DAMP_NUM * acc) // DAMP_DEN
+        r_new = tele_vec(c, len(acc)) + (DAMP_NUM * acc) // DAMP_DEN
         return pa.table({
             "chunk": pa.array([c], type=pa.int64()),
             "r": pa.array([r_new.tobytes()], type=pa.binary()),
@@ -555,3 +603,97 @@ def hits_oracle_sql(n_iters: int = 3, max_out: int = MAX_OUT_DEFAULT) -> str:
             + f"""
 SELECT a.doc_id, a.v AS authority_micro, h.v AS hub_micro
 FROM a{n_iters} a JOIN h{n_iters} h ON h.doc_id = a.doc_id""")
+
+
+def triangle_count(
+    docs: rd.Dataset,
+    n_docs: int,
+    max_out: int = MAX_OUT_DEFAULT,
+    num_partitions: int = 4,
+) -> pa.Table:
+    """Exact triangle count of the UNDIRECTED hash graph — the classic
+    multi-way graph self-join. Plan (the standard distributed recipe):
+
+      1. canonicalize: every directed edge becomes (a, b) with a < b,
+         deduplicated (one groupby);
+      2. wedges: canonical edges self-join on the LOW endpoint —
+         (a,b) x (a,c) with b < c (each wedge is generated exactly
+         once because both legs leave the smallest node);
+      3. close: wedge (b,c) pairs semi-join the canonical edge set —
+         a closed wedge is a triangle, counted exactly once.
+
+    Two hash joins + two grouped dedups; at web scale the wedge fan-out
+    is bounded by sum(deg^2) of low endpoints, which the canonical
+    low->high orientation keeps at the theoretical minimum (the reason
+    every production triangle counter orients edges this way)."""
+    e = derive_edges(docs, n_docs, max_out=max_out)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({
+            "a": pa.array(np.minimum(s, d)),
+            "b": pa.array(np.maximum(s, d)),
+        })
+
+    edges = (
+        e.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({
+                "a": t.column("a").cast(pa.int64()),
+                "b": t.column("b").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def ordered_wedges(t: pa.Table) -> pa.Table:
+        # the self-join emits both orderings of every wedge; keeping
+        # strictly b < b_r generates each wedge exactly once (mirrors
+        # the oracle's e2.b > e1.b)
+        if "b_r" not in t.column_names:
+            return pa.table({
+                "wb": pa.array([], type=pa.int64()),
+                "wc": pa.array([], type=pa.int64()),
+            })
+        t = t.filter(pa.compute.less(t.column("b"), t.column("b_r")))
+        return pa.table({
+            "wb": t.column("b").cast(pa.int64()),
+            "wc": t.column("b_r").cast(pa.int64()),
+        })
+
+    wedges = edges.join(
+        edges, "inner", num_partitions,
+        on=("a",), right_on=("a",), right_suffix="_r",
+    ).map_batches(ordered_wedges, batch_format="pyarrow")
+
+    closed = wedges.join(
+        edges, "inner", num_partitions,
+        on=("wb", "wc"), right_on=("a", "b"), right_suffix="_r",
+    )
+    n_tri = closed.count()
+    return pa.table({"n_triangles": pa.array([int(n_tri)],
+                                             type=pa.int64())})
+
+
+TRIANGLE_ORACLE_SQL = f"""
+WITH n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+de AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST(md5_number_lower('edge:' || d.doc_id::VARCHAR || ':'
+                                 || j::VARCHAR) % n.nd AS BIGINT) AS dst
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % {MAX_OUT_DEFAULT}))
+                 AS j FROM documents) d, n
+  ) WHERE dst != src
+),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM de)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""

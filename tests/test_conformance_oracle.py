@@ -94,6 +94,8 @@ SUBSET = [
     "lang_confusion",
     "bm25_static_rank",
     "hits_scores",
+    "pagerank_seeded",
+    "triangle_count",
 ]
 
 
