@@ -210,7 +210,8 @@ def run_bench() -> dict:
                  "kmeans_lloyd", "global_quantiles",
                  "curation_pipeline", "lang_confusion",
                  "bm25_static_rank", "hits_scores",
-                 "pagerank_seeded", "triangle_count"):
+                 "pagerank_seeded", "triangle_count",
+                 "events_resampled"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -3097,6 +3097,13 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     return gr.triangle_count(docs, n_docs=docs.count())
 
 
+def q_events_resampled(sf_dir: str) -> pa.Table:
+    """Gap-filled hourly resample: full (type, hour) grid, 0-filled."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["ts", "event_type", "value"])
+    return win.resample_hourly_filled(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3273,6 +3280,28 @@ SELECT coalesce(sum(CASE WHEN is_promo THEN rev_c ELSE 0 END), 0)::BIGINT
                                   END), 0)
              / coalesce(sum(rev_c), 0), 6) AS promo_pct_r
 FROM f
+"""
+
+_SQL_EVENTS_RESAMPLED = """
+WITH agg AS (
+  SELECT event_type,
+         epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+         count(*)::BIGINT AS n_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS value_c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT k.event_type, g.ws
+  FROM (SELECT DISTINCT event_type FROM agg) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, 3600)) AS ws
+              FROM span) g
+)
+SELECT g.event_type, g.ws AS window_start,
+       coalesce(a.n_events, 0)::BIGINT AS n_events,
+       coalesce(a.value_c, 0)::BIGINT AS value_c
+FROM grid g LEFT JOIN agg a
+  ON a.event_type = g.event_type AND a.window_start = g.ws
 """
 
 _SQL_EVENTS_ROLLUP = """
@@ -3479,6 +3508,7 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "pagerank_seeded": q_pagerank_seeded,
     "triangle_count": q_triangle_count,
+    "events_resampled": q_events_resampled,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3590,6 +3620,7 @@ ORACLE_SQL = {
     "hits_scores": _SQL_HITS,
     "pagerank_seeded": _SQL_PAGERANK_SEEDED,
     "triangle_count": _SQL_TRIANGLES,
+    "events_resampled": _SQL_EVENTS_RESAMPLED,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

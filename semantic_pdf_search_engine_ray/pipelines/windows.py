@@ -485,3 +485,61 @@ def global_quantiles_histogram(
         "q": pa.array(out_q, type=pa.float64()),
         "value": pa.array(out_v, type=pa.float64()),
     })
+
+
+def resample_hourly_filled(
+    events: rd.Dataset, key: str = "event_type"
+) -> pa.Table:
+    """Gap-filled hourly resampling: every (key, hour) cell of the full
+    [min hour, max hour] grid, zero-filled where no events landed — the
+    time-series shaping step before any forecasting/anomaly model.
+
+    Scale shape: the corpus pass is the same one hash aggregate as
+    `tumbling_agg`; the GRID is bounded by time-span x |keys| (hours,
+    not rows — a year is 8,760 cells/key no matter how many trillion
+    events), so densification happens on the aggregated table. Output:
+    (key, window_start, n_events, value_c) with integer-cents sums."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        floored = pc.floor_temporal(batch.column("ts"), unit="hour")
+        v = batch.column("value").to_numpy()
+        return pa.table({
+            key: batch.column(key),
+            "window_start": _epoch_seconds(floored),
+            "value_c": pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    agg = (
+        events.map_batches(derive, batch_format="pyarrow")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+        .to_pandas()  # span x keys bounded, not row-count bounded
+    )
+    if len(agg) == 0:
+        return pa.table({
+            key: pa.array([], type=pa.string()),
+            "window_start": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "value_c": pa.array([], type=pa.int64()),
+        })
+    lo, hi = int(agg["window_start"].min()), int(agg["window_start"].max())
+    grid_ws = np.arange(lo, hi + 1, 3600, dtype=np.int64)
+    keys = sorted(agg[key].unique())
+    have = {(k, int(w)): (int(n), int(v)) for k, w, n, v in zip(
+        agg[key], agg["window_start"], agg["n_events"], agg["value_c"])}
+    out_k, out_w, out_n, out_v = [], [], [], []
+    for k in keys:
+        for w in grid_ws:
+            n, v = have.get((k, int(w)), (0, 0))
+            out_k.append(k)
+            out_w.append(int(w))
+            out_n.append(n)
+            out_v.append(v)
+    return pa.table({
+        key: pa.array(out_k, type=pa.string()),
+        "window_start": pa.array(out_w, type=pa.int64()),
+        "n_events": pa.array(out_n, type=pa.int64()),
+        "value_c": pa.array(out_v, type=pa.int64()),
+    })

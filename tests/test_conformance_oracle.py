@@ -96,6 +96,7 @@ SUBSET = [
     "hits_scores",
     "pagerank_seeded",
     "triangle_count",
+    "events_resampled",
 ]
 
 
