@@ -3104,6 +3104,17 @@ def q_events_resampled(sf_dir: str) -> pa.Table:
     return win.resample_hourly_filled(events)
 
 
+def q_daily_reconciliation(sf_dir: str) -> rd.Dataset:
+    """Per-day events x orders FULL OUTER reconciliation (zero-filled
+    missing sides)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    events = rd.read_parquet(events_path(sf_dir), columns=["ts"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderdate"])
+    return rel.daily_reconciliation(events, orders)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3302,6 +3313,23 @@ SELECT g.event_type, g.ws AS window_start,
        coalesce(a.value_c, 0)::BIGINT AS value_c
 FROM grid g LEFT JOIN agg a
   ON a.event_type = g.event_type AND a.window_start = g.ws
+"""
+
+_SQL_DAILY_RECON = """
+WITH ev AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+od AS (
+  SELECT epoch(date_trunc('day', o_orderdate))::BIGINT AS day,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(ev.day, od.day) AS day,
+       coalesce(ev.n_events, 0)::BIGINT AS n_events,
+       coalesce(od.n_orders, 0)::BIGINT AS n_orders
+FROM ev FULL OUTER JOIN od ON od.day = ev.day
 """
 
 _SQL_EVENTS_ROLLUP = """
@@ -3509,6 +3537,7 @@ QUERIES = {
     "pagerank_seeded": q_pagerank_seeded,
     "triangle_count": q_triangle_count,
     "events_resampled": q_events_resampled,
+    "daily_reconciliation": q_daily_reconciliation,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3621,6 +3650,7 @@ ORACLE_SQL = {
     "pagerank_seeded": _SQL_PAGERANK_SEEDED,
     "triangle_count": _SQL_TRIANGLES,
     "events_resampled": _SQL_EVENTS_RESAMPLED,
+    "daily_reconciliation": _SQL_DAILY_RECON,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

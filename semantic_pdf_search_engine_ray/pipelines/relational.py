@@ -586,3 +586,55 @@ def promo_revenue_share(
         "total_c": pa.array([total_c], type=pa.int64()),
         "promo_pct_r": pa.array([pct_r], type=pa.float64()),
     })
+
+
+def daily_reconciliation(
+    events: rd.Dataset, orders: rd.Dataset, num_partitions: int = 4
+) -> rd.Dataset:
+    """Ops-reconciliation shape: per-day event counts FULL OUTER JOINed
+    to per-day order counts — days alive on only one side surface with
+    a zero on the other (the daily "did both systems log?" audit).
+    Both sides pre-aggregate to day granularity BEFORE the join, so the
+    exchange is span-bounded (days), not row-bounded; the join itself
+    exercises Dataset.join full_outer."""
+
+    def day_of(col: pa.ChunkedArray) -> pa.Array:
+        return pc.cast(
+            pc.cast(pc.floor_temporal(col, unit="day"),
+                    pa.timestamp("s")), pa.int64())
+
+    ev = (
+        events.map_batches(
+            lambda t: pa.table({"day": day_of(t.column("ts"))}),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+        .materialize()
+    )
+    od = (
+        orders.map_batches(
+            lambda t: pa.table(
+                {"o_day": day_of(t.column("o_orderdate"))}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_day")
+        .aggregate(Count(alias_name="n_orders"))
+        .materialize()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # full_outer coalesces the join key into one `day` column;
+        # only the count columns carry nulls to zero-fill
+        return pa.table({
+            "day": t.column("day").cast(pa.int64()),
+            "n_events": pc.coalesce(
+                t.column("n_events"), pa.scalar(0)).cast(pa.int64()),
+            "n_orders": pc.coalesce(
+                t.column("n_orders"), pa.scalar(0)).cast(pa.int64()),
+        })
+
+    return ev.join(
+        od, "full_outer", num_partitions,
+        on=("day",), right_on=("o_day",),
+    ).map_batches(finish, batch_format="pyarrow")

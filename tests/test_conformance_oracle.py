@@ -97,6 +97,7 @@ SUBSET = [
     "pagerank_seeded",
     "triangle_count",
     "events_resampled",
+    "daily_reconciliation",
 ]
 
 
