@@ -211,7 +211,8 @@ def run_bench() -> dict:
                  "curation_pipeline", "lang_confusion",
                  "bm25_static_rank", "hits_scores",
                  "pagerank_seeded", "triangle_count",
-                 "events_resampled", "daily_reconciliation"):
+                 "events_resampled", "daily_reconciliation",
+                 "funnel_counts"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

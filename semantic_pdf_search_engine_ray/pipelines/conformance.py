@@ -3115,6 +3115,13 @@ def q_daily_reconciliation(sf_dir: str) -> rd.Dataset:
     return rel.daily_reconciliation(events, orders)
 
 
+def q_funnel_counts(sf_dir: str) -> pa.Table:
+    """Greedy view->click->purchase funnel conversion counts."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["user_id", "ts", "event_type"])
+    return win.funnel_counts(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3313,6 +3320,25 @@ SELECT g.event_type, g.ws AS window_start,
        coalesce(a.value_c, 0)::BIGINT AS value_c
 FROM grid g LEFT JOIN agg a
   ON a.event_type = g.event_type AND a.window_start = g.ws
+"""
+
+_SQL_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch(date_trunc('second', ts))::BIGINT AS es
+  FROM events
+),
+v AS (SELECT user_id, min(es) AS e FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.es) AS e
+      FROM e JOIN v ON v.user_id = e.user_id AND e.es > v.e
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.es) AS e
+      FROM e JOIN c ON c.user_id = e.user_id AND e.es > c.e
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+       (SELECT count(*) FROM c)::BIGINT AS n_click_after,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchase_after
 """
 
 _SQL_DAILY_RECON = """
@@ -3538,6 +3564,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "events_resampled": q_events_resampled,
     "daily_reconciliation": q_daily_reconciliation,
+    "funnel_counts": q_funnel_counts,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3651,6 +3678,7 @@ ORACLE_SQL = {
     "triangle_count": _SQL_TRIANGLES,
     "events_resampled": _SQL_EVENTS_RESAMPLED,
     "daily_reconciliation": _SQL_DAILY_RECON,
+    "funnel_counts": _SQL_FUNNEL,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -543,3 +543,54 @@ def resample_hourly_filled(
         "n_events": pa.array(out_n, type=pa.int64()),
         "value_c": pa.array(out_v, type=pa.int64()),
     })
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_counts(events: rd.Dataset) -> pa.Table:
+    """Greedy 3-stage funnel (the product-analytics conversion query):
+    a user converts stage k when an event of that type exists STRICTLY
+    after their stage-(k-1) match (earliest-match greedy, whole-second
+    timestamps — the same convention as the windows family). Output:
+    one row of per-stage converted-user counts.
+
+    One user-hash shuffle (groupby.map_groups emits a 3-flag row per
+    user), then a count-sum over |users| tiny rows."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds(group.column("ts")).to_numpy(
+            zero_copy_only=False)
+        types = group.column("event_type").to_pylist()
+        flags = []
+        cutoff = -np.inf
+        for stage in FUNNEL_STAGES:
+            cand = [e for e, t in zip(epoch, types)
+                    if t == stage and e > cutoff]
+            if not cand:
+                flags.extend([0] * (len(FUNNEL_STAGES) - len(flags)))
+                break
+            cutoff = min(cand)
+            flags.append(1)
+        return pa.table({
+            "s1": pa.array([flags[0]], type=pa.int64()),
+            "s2": pa.array([flags[1]], type=pa.int64()),
+            "s3": pa.array([flags[2]], type=pa.int64()),
+        })
+
+    agg = (
+        events.select_columns(["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .aggregate(Sum("s1", alias_name="n_view"),
+                   Sum("s2", alias_name="n_click_after"),
+                   Sum("s3", alias_name="n_purchase_after"))
+    )
+    return pa.table({
+        "n_view": pa.array([int(agg.get("n_view") or 0)],
+                           type=pa.int64()),
+        "n_click_after": pa.array([int(agg.get("n_click_after") or 0)],
+                                  type=pa.int64()),
+        "n_purchase_after": pa.array(
+            [int(agg.get("n_purchase_after") or 0)], type=pa.int64()),
+    })

@@ -98,6 +98,7 @@ SUBSET = [
     "triangle_count",
     "events_resampled",
     "daily_reconciliation",
+    "funnel_counts",
 ]
 
 
