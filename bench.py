@@ -212,7 +212,7 @@ def run_bench() -> dict:
                  "bm25_static_rank", "hits_scores",
                  "pagerank_seeded", "triangle_count",
                  "events_resampled", "daily_reconciliation",
-                 "funnel_counts"):
+                 "funnel_counts", "retention_cohorts"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

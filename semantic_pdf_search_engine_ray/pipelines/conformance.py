@@ -3122,6 +3122,14 @@ def q_funnel_counts(sf_dir: str) -> pa.Table:
     return win.funnel_counts(events)
 
 
+def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention triangle: (first-seen day, age in days) ->
+    distinct active users."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["user_id", "ts"])
+    return win.retention_cohorts(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3320,6 +3328,19 @@ SELECT g.event_type, g.ws AS window_start,
        coalesce(a.value_c, 0)::BIGINT AS value_c
 FROM grid g LEFT JOIN agg a
   ON a.event_type = g.event_type AND a.window_start = g.ws
+"""
+
+_SQL_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch(date_trunc('day', ts))::BIGINT // 86400 AS day
+  FROM events
+),
+fs AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT fs.cohort_day, (ud.day - fs.cohort_day)::BIGINT AS age_days,
+       count(*)::BIGINT AS n_users
+FROM ud JOIN fs ON fs.user_id = ud.user_id
+GROUP BY fs.cohort_day, age_days
 """
 
 _SQL_FUNNEL = """
@@ -3565,6 +3586,7 @@ QUERIES = {
     "events_resampled": q_events_resampled,
     "daily_reconciliation": q_daily_reconciliation,
     "funnel_counts": q_funnel_counts,
+    "retention_cohorts": q_retention_cohorts,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3679,6 +3701,7 @@ ORACLE_SQL = {
     "events_resampled": _SQL_EVENTS_RESAMPLED,
     "daily_reconciliation": _SQL_DAILY_RECON,
     "funnel_counts": _SQL_FUNNEL,
+    "retention_cohorts": _SQL_RETENTION,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -594,3 +594,65 @@ def funnel_counts(events: rd.Dataset) -> pa.Table:
         "n_purchase_after": pa.array(
             [int(agg.get("n_purchase_after") or 0)], type=pa.int64()),
     })
+
+
+def retention_cohorts(events: rd.Dataset) -> rd.Dataset:
+    """Cohort retention (the classic growth-analytics triangle): users
+    cohorted by FIRST-SEEN day; for every (cohort_day, age_days) cell,
+    how many distinct cohort members were active age_days days later.
+
+    Plan: first-seen = one user groupby (min day); activity days =
+    per-(user, day) collapse (distinct-day dedup, combiner-friendly);
+    the two user-keyed tables hash-join (both shrink to |users| and
+    |user-days| rows long before the join — at web scale this is the
+    join of two pre-aggregates, never raw events); then a tiny
+    (cohort, age) grouped count."""
+    from ray.data.aggregate import Min as AggMin
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")), pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "day": pc.divide(day, 86400).cast(pa.int64()),
+        })
+
+    user_days = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(to_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .materialize()
+    )
+    first_seen = (
+        user_days.groupby("user_id")
+        .aggregate(AggMin("day", alias_name="cohort_day"))
+        .materialize()
+    )
+    joined = user_days.join(
+        first_seen, "inner", 4,
+        on=("user_id",), right_on=("user_id",), right_suffix="_r",
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy()
+        cohort = t.column("cohort_day").to_numpy()
+        return pa.table({
+            "cohort_day": pa.array(cohort.astype(np.int64)),
+            "age_days": pa.array((day - cohort).astype(np.int64)),
+        })
+
+    return (
+        joined.map_batches(derive, batch_format="pyarrow")
+        .groupby(["cohort_day", "age_days"])
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.table({
+                "cohort_day": t.column("cohort_day").cast(pa.int64()),
+                "age_days": t.column("age_days").cast(pa.int64()),
+                "n_users": t.column("n_users").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

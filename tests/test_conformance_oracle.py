@@ -99,6 +99,7 @@ SUBSET = [
     "events_resampled",
     "daily_reconciliation",
     "funnel_counts",
+    "retention_cohorts",
 ]
 
 
