@@ -212,7 +212,8 @@ def run_bench() -> dict:
                  "bm25_static_rank", "hits_scores",
                  "pagerank_seeded", "triangle_count",
                  "events_resampled", "daily_reconciliation",
-                 "funnel_counts", "retention_cohorts"):
+                 "funnel_counts", "retention_cohorts",
+                 "event_transitions"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -3130,6 +3130,14 @@ def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
     return win.retention_cohorts(events)
 
 
+def q_event_transitions(sf_dir: str) -> rd.Dataset:
+    """Per-user event-type transition (Markov) counts."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["user_id", "event_id", "ts",
+                                      "event_type"])
+    return win.event_transitions(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3328,6 +3336,24 @@ SELECT g.event_type, g.ws AS window_start,
        coalesce(a.value_c, 0)::BIGINT AS value_c
 FROM grid g LEFT JOIN agg a
   ON a.event_type = g.event_type AND a.window_start = g.ws
+"""
+
+_SQL_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch(date_trunc('second', ts))::BIGINT AS es, event_id
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS nxt
+  FROM e
+)
+SELECT event_type AS prev_type, nxt AS next_type,
+       count(*)::BIGINT AS n_transitions
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY prev_type, next_type
 """
 
 _SQL_RETENTION = """
@@ -3587,6 +3613,7 @@ QUERIES = {
     "daily_reconciliation": q_daily_reconciliation,
     "funnel_counts": q_funnel_counts,
     "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3702,6 +3729,7 @@ ORACLE_SQL = {
     "daily_reconciliation": _SQL_DAILY_RECON,
     "funnel_counts": _SQL_FUNNEL,
     "retention_cohorts": _SQL_RETENTION,
+    "event_transitions": _SQL_TRANSITIONS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -656,3 +656,48 @@ def retention_cohorts(events: rd.Dataset) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def event_transitions(events: rd.Dataset) -> rd.Dataset:
+    """First-order behavior model: counts of (previous event_type ->
+    next event_type) transitions along each user's timeline — the
+    empirical Markov transition matrix user-journey models start from.
+    Ordering pinned to (epoch_s, event_id) like `user_event_lag`. One
+    user-hash shuffle; per-group transition pairs pre-count in-group
+    (at most |types|^2 rows leave each group) before the global sum."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        epoch = _epoch_seconds(group.column("ts")).to_numpy(
+            zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_pylist()
+        order = np.lexsort((eid, epoch))
+        seq = [types[i] for i in order]
+        counts: dict[tuple[str, str], int] = {}
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        return pa.table({
+            "prev_type": pa.array([k[0] for k in counts],
+                                  type=pa.string()),
+            "next_type": pa.array([k[1] for k in counts],
+                                  type=pa.string()),
+            "n": pa.array(list(counts.values()), type=pa.int64()),
+        })
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts",
+                               "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n_transitions"))
+        .map_batches(
+            lambda t: pa.table({
+                "prev_type": t.column("prev_type"),
+                "next_type": t.column("next_type"),
+                "n_transitions": t.column("n_transitions").cast(
+                    pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

@@ -100,6 +100,7 @@ SUBSET = [
     "daily_reconciliation",
     "funnel_counts",
     "retention_cohorts",
+    "event_transitions",
 ]
 
 
