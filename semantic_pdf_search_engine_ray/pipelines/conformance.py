@@ -2002,6 +2002,19 @@ SELECT p.pattern_id, d.doc_id
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_SUBSTRING_COUNTS = f"""
+WITH pats AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS pattern_id,
+         substr(text, {SUBSTRING_OFF + 1}, {SUBSTRING_LEN}) AS pat
+  FROM (SELECT doc_id, text FROM documents
+        ORDER BY doc_id LIMIT {SUBSTRING_PATTERNS})
+)
+SELECT p.pattern_id, d.doc_id,
+       ((length(d.text) - length(replace(d.text, p.pat, '')))
+        // length(p.pat))::BIGINT AS n_matches
+FROM pats p JOIN documents d ON contains(d.text, p.pat)
+"""
+
 _SQL_REGEX_SEARCH = """
 WITH pats(pattern_id, pat) AS (VALUES
   (0, 'table (scan|sort)'),
@@ -3138,6 +3151,29 @@ def q_event_transitions(sf_dir: str) -> rd.Dataset:
     return win.event_transitions(events)
 
 
+def q_substring_counts(sf_dir: str) -> rd.Dataset:
+    """grep -c through the trigram planner: per (pattern, doc)
+    non-overlapping occurrence counts."""
+    import pyarrow.dataset as pads
+
+    from semantic_pdf_search_engine_ray.pipelines.substring import (
+        substring_match_counts,
+    )
+
+    index_dir = _trigram_index(sf_dir)
+    src = pads.dataset(documents_path(sf_dir)).to_table(
+        columns=["doc_id", "text"]).sort_by("doc_id")
+    pats = [
+        t[SUBSTRING_OFF:SUBSTRING_OFF + SUBSTRING_LEN]
+        for t in src.column("text").to_pylist()[:SUBSTRING_PATTERNS]
+    ]
+    tbl = pa.table({
+        "pattern_id": pa.array(range(len(pats)), type=pa.int64()),
+        "pattern": pa.array(pats, type=pa.string()),
+    })
+    return substring_match_counts(index_dir, tbl)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3614,6 +3650,7 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
+    "substring_counts": q_substring_counts,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3730,6 +3767,7 @@ ORACLE_SQL = {
     "funnel_counts": _SQL_FUNNEL,
     "retention_cohorts": _SQL_RETENTION,
     "event_transitions": _SQL_TRANSITIONS,
+    "substring_counts": _SQL_SUBSTRING_COUNTS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -163,6 +163,55 @@ class TrigramReader:
         )
 
 
+class SubstringCountActor:
+    """Actor-pool stage: (pattern_id, pattern) -> one row per matching
+    doc with its NON-OVERLAPPING occurrence count (grep -c): the
+    trigram planner prunes to candidates, `str.count` verifies and
+    counts on the pushdown-read raw text (SQL mirror: length-delta of
+    replace(), the same left-to-right non-overlapping convention)."""
+
+    def __init__(self, index_dir: str):
+        self.reader = TrigramReader(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids: list[int] = []
+        docs: list[int] = []
+        ns: list[int] = []
+        for pid, pat in zip(batch.column("pattern_id").to_pylist(),
+                            batch.column("pattern").to_pylist()):
+            cand = self.reader.candidates(pat)
+            if cand.size == 0:
+                continue
+            t = pads.dataset(self.reader.docs_path).to_table(
+                columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin(cand.tolist()),
+            )
+            for d, txt in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist()):
+                n = txt.count(pat)
+                if n > 0:
+                    pids.append(pid)
+                    docs.append(d)
+                    ns.append(n)
+        return pa.table(
+            {"pattern_id": pa.array(pids, type=pa.int64()),
+             "doc_id": pa.array(docs, type=pa.int64()),
+             "n_matches": pa.array(ns, type=pa.int64())}
+        )
+
+
+def substring_match_counts(
+    index_dir: str, patterns: pa.Table, concurrency: int = 2,
+) -> rd.Dataset:
+    """(pattern_id, pattern) -> (pattern_id, doc_id, n_matches)."""
+    return rd.from_arrow(patterns).map_batches(
+        SubstringCountActor,
+        fn_constructor_args=(index_dir,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 class SubstringQueryActor:
     """Actor-pool stage: (pattern_id, pattern) batches -> one row per
     (pattern_id, doc_id) match; the reader loads once per actor."""

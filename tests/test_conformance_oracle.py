@@ -101,6 +101,7 @@ SUBSET = [
     "funnel_counts",
     "retention_cohorts",
     "event_transitions",
+    "substring_counts",
 ]
 
 
