@@ -213,7 +213,8 @@ def run_bench() -> dict:
                  "pagerank_seeded", "triangle_count",
                  "events_resampled", "daily_reconciliation",
                  "funnel_counts", "retention_cohorts",
-                 "event_transitions", "substring_counts"):
+                 "event_transitions", "substring_counts",
+                 "source_vocab_overlap"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

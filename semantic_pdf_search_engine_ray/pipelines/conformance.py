@@ -2015,6 +2015,27 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_VOCAB_OVERLAP = f"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_common
+  FROM st a JOIN st b ON b.term = a.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+         AS jaccard_r
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
 _SQL_REGEX_SEARCH = """
 WITH pats(pattern_id, pat) AS (VALUES
   (0, 'table (scan|sort)'),
@@ -3174,6 +3195,13 @@ def q_substring_counts(sf_dir: str) -> rd.Dataset:
     return substring_match_counts(index_dir, tbl)
 
 
+def q_source_vocab_overlap(sf_dir: str) -> rd.Dataset:
+    """Pairwise source vocabulary Jaccard (corpus similarity matrix)."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["source", "text"])
+    return ts.source_vocab_overlap(docs)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3651,6 +3679,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
     "substring_counts": q_substring_counts,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3768,6 +3797,7 @@ ORACLE_SQL = {
     "retention_cohorts": _SQL_RETENTION,
     "event_transitions": _SQL_TRANSITIONS,
     "substring_counts": _SQL_SUBSTRING_COUNTS,
+    "source_vocab_overlap": _SQL_VOCAB_OVERLAP,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

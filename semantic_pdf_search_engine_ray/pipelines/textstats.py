@@ -1107,3 +1107,76 @@ def lang_confusion(docs: rd.Dataset) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def source_vocab_overlap(docs: rd.Dataset) -> rd.Dataset:
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    similarity matrix used to spot near-duplicate crawls / mirrored
+    domains before mixing weights are chosen.
+
+    Plan: distinct (source, term) pairs via one groupby (the only
+    corpus-sized exchange); the pair table then self-joins ON TERM
+    (vocabulary-sized, not corpus-sized) with the ordered-pair filter
+    applied post-join; |sources|^2 intersection counts and |sources|
+    vocab sizes are tiny and combine on the driver. Jaccard =
+    inter / (|A| + |B| - inter): exact integers + one float division
+    (identical expression in SQL)."""
+    from ray.data.aggregate import Count as AggCount
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_s, out_t = [], []
+        seen = set()
+        for src, text in zip(batch.column("source").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for tok in set(tokenize(text)):
+                if (src, tok) not in seen:
+                    seen.add((src, tok))
+                    out_s.append(src)
+                    out_t.append(tok)
+        return pa.table({
+            "source": pa.array(out_s, type=pa.string()),
+            "term": pa.array(out_t, type=pa.string()),
+        })
+
+    st = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(AggCount(alias_name="_n"))
+        .select_columns(["source", "term"])
+        .materialize()
+    )
+    sizes = {
+        r["source"]: int(r["n"]) for r in
+        st.groupby("source").aggregate(
+            AggCount(alias_name="n")).take_all()
+    }
+
+    inter = (
+        st.join(st, "inner", 8, on=("term",), right_on=("term",),
+                right_suffix="_r")
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.less(t.column("source"),
+                                t.column("source_r"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "source_r"])
+        .aggregate(AggCount(alias_name="n_common"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t.column("source").to_pylist()
+        b = t.column("source_r").to_pylist()
+        n = t.column("n_common").to_numpy().astype(np.int64)
+        jac = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            jac[i] = n[i] * 1.0 / (sizes[x] + sizes[y] - int(n[i]))
+        jac_r = np.copysign(np.floor(np.abs(jac) * 1e6 + 0.5), jac) / 1e6
+        return pa.table({
+            "source_a": pa.array(a, type=pa.string()),
+            "source_b": pa.array(b, type=pa.string()),
+            "n_common": pa.array(n),
+            "jaccard_r": pa.array(jac_r, type=pa.float64()),
+        })
+
+    return inter.map_batches(finish, batch_format="pyarrow")

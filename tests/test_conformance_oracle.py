@@ -102,6 +102,7 @@ SUBSET = [
     "retention_cohorts",
     "event_transitions",
     "substring_counts",
+    "source_vocab_overlap",
 ]
 
 
