@@ -214,7 +214,7 @@ def run_bench() -> dict:
                  "events_resampled", "daily_reconciliation",
                  "funnel_counts", "retention_cohorts",
                  "event_transitions", "substring_counts",
-                 "source_vocab_overlap"):
+                 "source_vocab_overlap", "ngram_novelty"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2015,6 +2015,27 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+  FROM toks WHERE len(ts) >= 3
+),
+df AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY g)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty_r
+FROM sh s JOIN df d ON d.g = s.g
+GROUP BY s.doc_id
+"""
+
 _SQL_VOCAB_OVERLAP = f"""
 WITH st AS (
   SELECT DISTINCT source,
@@ -3202,6 +3223,11 @@ def q_source_vocab_overlap(sf_dir: str) -> rd.Dataset:
     return ts.source_vocab_overlap(docs)
 
 
+def q_ngram_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-doc fraction of distinct 3-grams unique to that doc."""
+    return ts.ngram_novelty(read_docs(sf_dir), n=3)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3680,6 +3706,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "substring_counts": q_substring_counts,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "ngram_novelty": q_ngram_novelty,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3798,6 +3825,7 @@ ORACLE_SQL = {
     "event_transitions": _SQL_TRANSITIONS,
     "substring_counts": _SQL_SUBSTRING_COUNTS,
     "source_vocab_overlap": _SQL_VOCAB_OVERLAP,
+    "ngram_novelty": _SQL_NGRAM_NOVELTY,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

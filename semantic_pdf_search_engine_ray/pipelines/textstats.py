@@ -1180,3 +1180,71 @@ def source_vocab_overlap(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_novelty(docs: rd.Dataset, n: int = 3) -> rd.Dataset:
+    """Per-doc novelty: the fraction of its DISTINCT word n-grams that
+    appear in no other document — high novelty separates original
+    content from boilerplate/templated text (the inverse signal of the
+    dedup family, useful as a curation feature).
+
+    Plan: distinct (n-gram, doc) rows -> per-n-gram doc-frequency via
+    one hash groupby (map-side combine) -> the df table joins BACK to
+    the per-doc rows on the n-gram key (both sides shingle-keyed; this
+    is the honest corpus-sized exchange and is exactly
+    ``ngram_jaccard``'s physical shape) -> per-doc unique/total counts.
+    Output: (doc_id, n_shingles, n_unique, novelty_r)."""
+    from ray.data.aggregate import Count as AggCount, Sum as AggSum
+
+    from semantic_pdf_search_engine_ray.functions.shingle import (
+        word_ngram_strings,
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_d, out_g = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for g in set(word_ngram_strings(t, n)):
+                out_d.append(d)
+                out_g.append(g)
+        return pa.table({
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "g": pa.array(out_g, type=pa.string()),
+        })
+
+    rows = docs.map_batches(shingle_rows,
+                            batch_format="pyarrow").materialize()
+    df = rows.groupby("g").aggregate(AggCount(alias_name="df"))
+    joined = rows.join(
+        df.materialize(), "inner", 8, on=("g",), right_on=("g",),
+        right_suffix="_r",
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        dfv = t.column("df").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            "uniq": pa.array((dfv == 1).astype(np.int64)),
+        })
+
+    agg = (
+        joined.map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(AggSum("one", alias_name="n_shingles"),
+                   AggSum("uniq", alias_name="n_unique"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = t.column("n_shingles").to_numpy().astype(np.int64)
+        nu = t.column("n_unique").to_numpy().astype(np.int64)
+        nov = nu * 1.0 / ns
+        nov_r = np.copysign(np.floor(np.abs(nov) * 1e6 + 0.5), nov) / 1e6
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_shingles": pa.array(ns),
+            "n_unique": pa.array(nu),
+            "novelty_r": pa.array(nov_r, type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

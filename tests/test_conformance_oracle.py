@@ -103,6 +103,7 @@ SUBSET = [
     "event_transitions",
     "substring_counts",
     "source_vocab_overlap",
+    "ngram_novelty",
 ]
 
 
