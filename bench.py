@@ -214,7 +214,8 @@ def run_bench() -> dict:
                  "events_resampled", "daily_reconciliation",
                  "funnel_counts", "retention_cohorts",
                  "event_transitions", "substring_counts",
-                 "source_vocab_overlap", "ngram_novelty"):
+                 "source_vocab_overlap", "ngram_novelty",
+                 "trimmed_mean"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2015,6 +2015,26 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_TRIMMED_MEAN = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x_c
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         quantile_disc(x_c, 0.05) AS lo,
+         quantile_disc(x_c, 0.95) AS hi
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       count(*)::BIGINT AS n_in_band,
+       round(sum(c.x_c) * 1.0 / count(*) / 100.0, 6) AS trimmed_mean_r
+FROM c JOIN b ON b.event_type = c.event_type
+WHERE c.x_c >= b.lo AND c.x_c <= b.hi
+GROUP BY c.event_type
+"""
+
 _SQL_NGRAM_NOVELTY = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
@@ -3228,6 +3248,13 @@ def q_ngram_novelty(sf_dir: str) -> rd.Dataset:
     return ts.ngram_novelty(read_docs(sf_dir), n=3)
 
 
+def q_trimmed_mean(sf_dir: str) -> rd.Dataset:
+    """Per-type 5-95% trimmed mean (robust aggregate, exact cents)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_type", "value"])
+    return win.trimmed_mean(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3707,6 +3734,7 @@ QUERIES = {
     "substring_counts": q_substring_counts,
     "source_vocab_overlap": q_source_vocab_overlap,
     "ngram_novelty": q_ngram_novelty,
+    "trimmed_mean": q_trimmed_mean,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3826,6 +3854,7 @@ ORACLE_SQL = {
     "substring_counts": _SQL_SUBSTRING_COUNTS,
     "source_vocab_overlap": _SQL_VOCAB_OVERLAP,
     "ngram_novelty": _SQL_NGRAM_NOVELTY,
+    "trimmed_mean": _SQL_TRIMMED_MEAN,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

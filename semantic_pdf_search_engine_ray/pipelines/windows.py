@@ -701,3 +701,43 @@ def event_transitions(events: rd.Dataset) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def trimmed_mean(
+    events: rd.Dataset,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    key: str = "event_type",
+) -> rd.Dataset:
+    """Robust per-key mean: average of values inside the
+    [quantile_disc(lo), quantile_disc(hi)] band — the outlier-immune
+    aggregate monitoring dashboards actually want. Band bounds use the
+    same ceil(q*n)-1 discrete-quantile rule as `value_quantiles`;
+    band-inclusive values sum in exact integer cents, so the only
+    float op is the closing division. One hash shuffle + per-group
+    sort (bounded groups); the unsorted scale path for huge groups is
+    the cents histogram (`global_quantiles_histogram`)."""
+
+    def group_tm(group: pa.Table) -> pa.Table:
+        import math
+
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        c = np.sort(np.floor(v * 100 + 0.5).astype(np.int64))
+        n = len(c)
+        lo = c[max(int(math.ceil(lo_q * n)) - 1, 0)]
+        hi = c[max(int(math.ceil(hi_q * n)) - 1, 0)]
+        band = c[(c >= lo) & (c <= hi)]
+        s, m = int(band.sum()), len(band)
+        tm = s * 1.0 / m / 100.0
+        tm_r = math.copysign(math.floor(abs(tm) * 1e6 + 0.5), tm) / 1e6
+        return pa.table({
+            key: pa.array([group.column(key)[0].as_py()]),
+            "n_in_band": pa.array([m], type=pa.int64()),
+            "trimmed_mean_r": pa.array([tm_r], type=pa.float64()),
+        })
+
+    return (
+        events.select_columns([key, "value"])
+        .groupby(key)
+        .map_groups(group_tm, batch_format="pyarrow")
+    )

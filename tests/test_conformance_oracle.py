@@ -104,6 +104,7 @@ SUBSET = [
     "substring_counts",
     "source_vocab_overlap",
     "ngram_novelty",
+    "trimmed_mean",
 ]
 
 
