@@ -2015,6 +2015,26 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_ANOMALOUS_DAYS = """
+WITH d AS (
+  SELECT epoch(date_trunc('day', ts))::BIGINT AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT count(*)::BIGINT AS m, sum(n_events)::BIGINT AS s1,
+         sum(n_events * n_events)::BIGINT AS s2
+  FROM d
+)
+SELECT day, n_events,
+       round((n_events - s1 * 1.0 / m)
+             / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m)),
+             6) AS z_r
+FROM d CROSS JOIN st
+WHERE abs((n_events - s1 * 1.0 / m)
+          / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))) > 2.0
+"""
+
 _SQL_TRIMMED_MEAN = """
 WITH c AS (
   SELECT event_type,
@@ -3255,6 +3275,12 @@ def q_trimmed_mean(sf_dir: str) -> rd.Dataset:
     return win.trimmed_mean(events)
 
 
+def q_anomalous_days(sf_dir: str) -> rd.Dataset:
+    """Daily-volume anomaly days (|z| > 2 vs all-days mean/std)."""
+    events = rd.read_parquet(events_path(sf_dir), columns=["ts"])
+    return win.anomalous_days(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3735,6 +3761,7 @@ QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "ngram_novelty": q_ngram_novelty,
     "trimmed_mean": q_trimmed_mean,
+    "anomalous_days": q_anomalous_days,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3855,6 +3882,7 @@ ORACLE_SQL = {
     "source_vocab_overlap": _SQL_VOCAB_OVERLAP,
     "ngram_novelty": _SQL_NGRAM_NOVELTY,
     "trimmed_mean": _SQL_TRIMMED_MEAN,
+    "anomalous_days": _SQL_ANOMALOUS_DAYS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

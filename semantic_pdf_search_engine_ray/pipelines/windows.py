@@ -741,3 +741,46 @@ def trimmed_mean(
         .groupby(key)
         .map_groups(group_tm, batch_format="pyarrow")
     )
+
+
+def anomalous_days(
+    events: rd.Dataset, z_threshold: float = 2.0
+) -> rd.Dataset:
+    """Volume-anomaly days: daily event counts whose z-score against
+    the all-days mean/std exceeds the threshold — the monitoring alarm
+    every event pipeline ends in. One corpus-sized hash aggregate
+    (daily counts); mean/std derive from exact integer power sums over
+    the span-bounded daily table, and the z expression is written
+    identically in SQL (both sides flag the same days bit-for-bit)."""
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")), pa.int64())
+        return pa.table({"day": day})
+
+    daily = (
+        events.select_columns(["ts"])
+        .map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()  # span-bounded (days), not row-bounded
+    )
+    n = daily["n_events"].to_numpy().astype(np.int64)
+    days = daily["day"].to_numpy().astype(np.int64)
+    m = len(n)
+    s1, s2 = int(n.sum()), int((n * n).sum())
+    mean = s1 * 1.0 / m
+    var = s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m)
+    std = float(np.sqrt(var))
+    z = (n - mean) / std
+    keep = np.abs(z) > z_threshold
+    z_r = np.copysign(np.floor(np.abs(z[keep]) * 1e6 + 0.5),
+                      z[keep]) / 1e6
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "day": pa.array(days[keep]),
+        "n_events": pa.array(n[keep]),
+        "z_r": pa.array(z_r, type=pa.float64()),
+    }))

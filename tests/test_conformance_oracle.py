@@ -105,6 +105,7 @@ SUBSET = [
     "source_vocab_overlap",
     "ngram_novelty",
     "trimmed_mean",
+    "anomalous_days",
 ]
 
 
