@@ -215,7 +215,8 @@ def run_bench() -> dict:
                  "funnel_counts", "retention_cohorts",
                  "event_transitions", "substring_counts",
                  "source_vocab_overlap", "ngram_novelty",
-                 "trimmed_mean", "anomalous_days"):
+                 "trimmed_mean", "anomalous_days",
+                 "late_order_priorities"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

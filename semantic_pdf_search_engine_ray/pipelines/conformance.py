@@ -2015,6 +2015,17 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_LATE_ORDER_PRIORITIES = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
 _SQL_ANOMALOUS_DAYS = """
 WITH d AS (
   SELECT epoch(date_trunc('day', ts))::BIGINT AS day,
@@ -3281,6 +3292,19 @@ def q_anomalous_days(sf_dir: str) -> rd.Dataset:
     return win.anomalous_days(events)
 
 
+def q_late_order_priorities(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 shape: per-priority counts of orders with a line
+    shipped after the order date (cross-table EXISTS)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    lineitem = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_shipdate"])
+    return rel.late_order_priority_counts(orders, lineitem)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3762,6 +3786,7 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "trimmed_mean": q_trimmed_mean,
     "anomalous_days": q_anomalous_days,
+    "late_order_priorities": q_late_order_priorities,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3883,6 +3908,7 @@ ORACLE_SQL = {
     "ngram_novelty": _SQL_NGRAM_NOVELTY,
     "trimmed_mean": _SQL_TRIMMED_MEAN,
     "anomalous_days": _SQL_ANOMALOUS_DAYS,
+    "late_order_priorities": _SQL_LATE_ORDER_PRIORITIES,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

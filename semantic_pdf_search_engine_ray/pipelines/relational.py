@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max as MaxAgg, Sum
 
 Q1_CUTOFF = "1998-09-02 00:00:00"  # mid-range of the synthetic shipdates
 
@@ -638,3 +638,57 @@ def daily_reconciliation(
         od, "full_outer", num_partitions,
         on=("day",), right_on=("o_day",),
     ).map_batches(finish, batch_format="pyarrow")
+
+
+Q4_LO = "1996-01-01 00:00:00"
+Q4_HI = "1998-01-01 00:00:00"
+
+
+def late_order_priority_counts(
+    orders: rd.Dataset, lineitem: rd.Dataset, num_partitions: int = 8
+) -> rd.Dataset:
+    """TPC-H Q4 shape: per-priority counts of window orders having at
+    least one line shipped AFTER the order date (EXISTS with a
+    cross-table predicate — not expressible as a plain semi-join key
+    match, so the plan is: window-filter orders map-side, inner hash
+    join lineitem on orderkey, apply the ship>order predicate on the
+    joined rows, collapse to distinct orders (first groupby carries the
+    priority through), then the tiny per-priority count."""
+    lo, hi = _ts(Q4_LO), _ts(Q4_HI)
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(od, lo), pc.less(od, hi)))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+        })
+
+    joined = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .join(orders.map_batches(window_orders, batch_format="pyarrow")
+              .materialize(),
+              "inner", num_partitions,
+              on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("l_shipdate"),
+                                          t.column("o_orderdate"))),
+            batch_format="pyarrow",
+        )
+    )
+    per_order = (
+        joined.groupby("l_orderkey")
+        .aggregate(MaxAgg("o_orderpriority", alias_name="o_orderpriority"))
+    )
+    return (
+        per_order.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(
+            lambda t: pa.table({
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

@@ -106,6 +106,7 @@ SUBSET = [
     "ngram_novelty",
     "trimmed_mean",
     "anomalous_days",
+    "late_order_priorities",
 ]
 
 
