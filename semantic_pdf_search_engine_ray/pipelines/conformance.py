@@ -2015,6 +2015,25 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                           '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS c
+       FROM toks GROUP BY doc_id, term),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, sum(c * ln(c)) AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_tokens,
+       CASE WHEN a.n IS NULL THEN 0.0
+            ELSE round(ln(a.n) - a.s / a.n, 6) END AS entropy_r
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
 _SQL_LATE_ORDER_PRIORITIES = """
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders
 FROM orders
@@ -3305,6 +3324,11 @@ def q_late_order_priorities(sf_dir: str) -> rd.Dataset:
     return rel.late_order_priority_counts(orders, lineitem)
 
 
+def q_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-doc token-distribution Shannon entropy (lexical diversity)."""
+    return ts.token_entropy(read_docs(sf_dir))
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3787,6 +3811,7 @@ QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "anomalous_days": q_anomalous_days,
     "late_order_priorities": q_late_order_priorities,
+    "token_entropy": q_token_entropy,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3909,6 +3934,7 @@ ORACLE_SQL = {
     "trimmed_mean": _SQL_TRIMMED_MEAN,
     "anomalous_days": _SQL_ANOMALOUS_DAYS,
     "late_order_priorities": _SQL_LATE_ORDER_PRIORITIES,
+    "token_entropy": _SQL_TOKEN_ENTROPY,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -1248,3 +1248,40 @@ def ngram_novelty(docs: rd.Dataset, n: int = 3) -> rd.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def token_entropy(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    lexical-diversity feature (low entropy flags repetitive/templated
+    text, complementing the Gopher repetition signals). Map-side only:
+    each doc's term counts live within its own batch; no shuffle.
+    H = ln(n) - (sum tf*ln(tf)) / n, computed with that exact
+    expression on both engines (per-term products summed once)."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        import math
+
+        ids = batch.column("doc_id").to_pylist()
+        out_n, out_h = [], []
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            n = len(toks)
+            if n == 0:
+                out_n.append(0)
+                out_h.append(0.0)
+                continue
+            counts: dict[str, int] = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            s = sum(c * math.log(c) for c in counts.values())
+            h = math.log(n) - s / n
+            out_h.append(math.copysign(
+                math.floor(abs(h) * 1e6 + 0.5), h) / 1e6)
+            out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "entropy_r": pa.array(out_h, type=pa.float64()),
+        })
+
+    return docs.map_batches(ent, batch_format="pyarrow")

@@ -107,6 +107,7 @@ SUBSET = [
     "trimmed_mean",
     "anomalous_days",
     "late_order_priorities",
+    "token_entropy",
 ]
 
 
