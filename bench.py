@@ -216,7 +216,8 @@ def run_bench() -> dict:
                  "event_transitions", "substring_counts",
                  "source_vocab_overlap", "ngram_novelty",
                  "trimmed_mean", "anomalous_days",
-                 "late_order_priorities", "token_entropy"):
+                 "late_order_priorities", "token_entropy",
+                 "vocab_growth"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

@@ -2015,6 +2015,29 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_VOCAB_GROWTH = f"""
+WITH n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+fs AS (
+  SELECT term, min(doc_id) AS first_doc FROM (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                                     '{TOKEN_PATTERN}')) AS term
+    FROM documents
+  ) GROUP BY term
+),
+bk AS (
+  SELECT least((first_doc * 10) // n.nd, 9)::BIGINT AS bucket
+  FROM fs, n
+),
+pb AS (SELECT bucket, count(*)::BIGINT AS n_new FROM bk GROUP BY bucket),
+g AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bucket)
+SELECT g.bucket + 1 AS decile,
+       coalesce(pb.n_new, 0)::BIGINT AS n_new_terms,
+       sum(coalesce(pb.n_new, 0))
+         OVER (ORDER BY g.bucket)::BIGINT AS vocab_size
+FROM g LEFT JOIN pb ON pb.bucket = g.bucket
+"""
+
 _SQL_TOKEN_ENTROPY = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text),
@@ -3329,6 +3352,11 @@ def q_token_entropy(sf_dir: str) -> rd.Dataset:
     return ts.token_entropy(read_docs(sf_dir))
 
 
+def q_vocab_growth(sf_dir: str) -> rd.Dataset:
+    """Heaps-law vocabulary growth per doc_id decile."""
+    return ts.vocab_growth(read_docs(sf_dir))
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3812,6 +3840,7 @@ QUERIES = {
     "anomalous_days": q_anomalous_days,
     "late_order_priorities": q_late_order_priorities,
     "token_entropy": q_token_entropy,
+    "vocab_growth": q_vocab_growth,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3935,6 +3964,7 @@ ORACLE_SQL = {
     "anomalous_days": _SQL_ANOMALOUS_DAYS,
     "late_order_priorities": _SQL_LATE_ORDER_PRIORITIES,
     "token_entropy": _SQL_TOKEN_ENTROPY,
+    "vocab_growth": _SQL_VOCAB_GROWTH,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

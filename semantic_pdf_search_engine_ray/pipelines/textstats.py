@@ -1285,3 +1285,60 @@ def token_entropy(docs: rd.Dataset) -> rd.Dataset:
         })
 
     return docs.map_batches(ent, batch_format="pyarrow")
+
+
+def vocab_growth(docs: rd.Dataset, n_buckets: int = 10) -> rd.Dataset:
+    """Heaps-law vocabulary growth: cumulative distinct-term count
+    after each doc_id decile of the corpus — the curve that tells you
+    whether more data still buys new vocabulary. One corpus exchange
+    (term -> min doc_id via hash groupby with map-side combine); the
+    decile bucketing and cumulative sum run on the vocabulary-sized
+    first-seen table."""
+    from ray.data.aggregate import Count, Min as AggMin
+
+    n_docs = docs.count()
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        out_t, out_d = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok in set(tokenize(t)):
+                out_t.append(tok)
+                out_d.append(d)
+        return pa.table({
+            "term": pa.array(out_t, type=pa.string()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+        })
+
+    first_seen = (
+        docs.map_batches(term_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(AggMin("doc_id", alias_name="first_doc"))
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").to_numpy()
+        # decile b covers doc_ids [0, (b+1)*n/10): bucket of a term =
+        # the first decile whose boundary exceeds its first_doc
+        b = (fd * n_buckets) // n_docs
+        return pa.table({"bucket": pa.array(
+            np.minimum(b, n_buckets - 1).astype(np.int64))})
+
+    per_bucket = (
+        first_seen.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_new_terms"))
+        .to_pandas()  # <= n_buckets rows
+        .sort_values("bucket")
+    )
+    buckets = per_bucket["bucket"].to_numpy().astype(np.int64)
+    new = per_bucket["n_new_terms"].to_numpy().astype(np.int64)
+    full_new = np.zeros(n_buckets, dtype=np.int64)
+    full_new[buckets] = new
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "decile": pa.array(np.arange(1, n_buckets + 1, dtype=np.int64)),
+        "n_new_terms": pa.array(full_new),
+        "vocab_size": pa.array(np.cumsum(full_new)),
+    }))

@@ -108,6 +108,7 @@ SUBSET = [
     "anomalous_days",
     "late_order_priorities",
     "token_entropy",
+    "vocab_growth",
 ]
 
 
