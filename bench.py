@@ -217,7 +217,7 @@ def run_bench() -> dict:
                  "source_vocab_overlap", "ngram_novelty",
                  "trimmed_mean", "anomalous_days",
                  "late_order_priorities", "token_entropy",
-                 "vocab_growth"):
+                 "vocab_growth", "orders_per_customer"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

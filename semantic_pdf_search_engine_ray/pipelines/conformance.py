@@ -2015,6 +2015,20 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_ORDERS_PER_CUSTOMER = """
+WITH pc AS (
+  SELECT o_custkey, count(*)::BIGINT AS k FROM orders GROUP BY o_custkey
+),
+hist AS (SELECT k, count(*)::BIGINT AS n_customers FROM pc GROUP BY k),
+zero AS (
+  SELECT 0::BIGINT AS k, count(*)::BIGINT AS n_customers
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+)
+SELECT * FROM hist UNION ALL SELECT * FROM zero
+"""
+
 _SQL_VOCAB_GROWTH = f"""
 WITH n AS (SELECT count(*)::BIGINT AS nd FROM documents),
 fs AS (
@@ -3357,6 +3371,17 @@ def q_vocab_growth(sf_dir: str) -> rd.Dataset:
     return ts.vocab_growth(read_docs(sf_dir))
 
 
+def q_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Zero-inflated orders-per-customer degree histogram."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    return rel.orders_per_customer_hist(customer, orders)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3841,6 +3866,7 @@ QUERIES = {
     "late_order_priorities": q_late_order_priorities,
     "token_entropy": q_token_entropy,
     "vocab_growth": q_vocab_growth,
+    "orders_per_customer": q_orders_per_customer,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3965,6 +3991,7 @@ ORACLE_SQL = {
     "late_order_priorities": _SQL_LATE_ORDER_PRIORITIES,
     "token_entropy": _SQL_TOKEN_ENTROPY,
     "vocab_growth": _SQL_VOCAB_GROWTH,
+    "orders_per_customer": _SQL_ORDERS_PER_CUSTOMER,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

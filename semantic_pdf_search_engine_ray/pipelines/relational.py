@@ -692,3 +692,40 @@ def late_order_priority_counts(
             batch_format="pyarrow",
         )
     )
+
+
+def orders_per_customer_hist(
+    customer: rd.Dataset, orders: rd.Dataset, num_partitions: int = 4
+) -> rd.Dataset:
+    """Degree distribution of the customer->orders relation: how many
+    customers placed exactly k orders, k = 0 included (the
+    zero-inflated engagement histogram). Two cheap aggregations — per-
+    customer counts, then counts-of-counts — plus a LEFT ANTI join to
+    recover the zero class (customers with no orders); everything after
+    the first groupby is |customers|-sized, then |distinct k|-sized."""
+    per_cust = (
+        orders.select_columns(["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="k"))
+        .materialize()
+    )
+    n_zero = customer.select_columns(["c_custkey"]).join(
+        per_cust, "left_anti", num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).count()
+    hist = (
+        per_cust.groupby("k")
+        .aggregate(Count(alias_name="n_customers"))
+        .map_batches(
+            lambda t: pa.table({
+                "k": t.column("k").cast(pa.int64()),
+                "n_customers": t.column("n_customers").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    zero_row = rd.from_arrow(pa.table({
+        "k": pa.array([0], type=pa.int64()),
+        "n_customers": pa.array([int(n_zero)], type=pa.int64()),
+    }))
+    return hist.union(zero_row)

@@ -109,6 +109,7 @@ SUBSET = [
     "late_order_priorities",
     "token_entropy",
     "vocab_growth",
+    "orders_per_customer",
 ]
 
 
