@@ -217,7 +217,8 @@ def run_bench() -> dict:
                  "source_vocab_overlap", "ngram_novelty",
                  "trimmed_mean", "anomalous_days",
                  "late_order_priorities", "token_entropy",
-                 "vocab_growth", "orders_per_customer"):
+                 "vocab_growth", "orders_per_customer",
+                 "skipgram_pmi"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

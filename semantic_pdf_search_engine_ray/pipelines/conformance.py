@@ -2015,6 +2015,37 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_SKIPGRAM_PMI = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
+),
+uni AS (SELECT unnest(ts) AS term FROM toks),
+ucnt AS (SELECT term, count(*)::BIGINT AS c FROM uni GROUP BY term),
+ut AS (SELECT count(*)::BIGINT AS t FROM uni),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - d.d),
+                i -> ts[i] || ' ' || ts[i + d.d])) AS bigram
+  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS d) d
+  WHERE len(ts) > d.d
+),
+bcnt AS (SELECT bigram, count(*)::BIGINT AS c_xy FROM big GROUP BY bigram
+         HAVING count(*) >= 5),
+bt AS (SELECT count(*)::BIGINT AS t FROM big),
+scored AS (
+  SELECT b.bigram, b.c_xy,
+         ln((b.c_xy * 1.0 * ut.t * ut.t) / (bt.t * u1.c * u2.c)) AS pmi_raw
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.term = string_split(b.bigram, ' ')[1]
+  JOIN ucnt u2 ON u2.term = string_split(b.bigram, ' ')[2]
+  CROSS JOIN ut CROSS JOIN bt
+)
+SELECT bigram, c_xy, round(pmi_raw, 6) AS pmi,
+       row_number() OVER (ORDER BY pmi_raw DESC, bigram ASC)::BIGINT AS rank
+FROM scored
+ORDER BY pmi_raw DESC, bigram ASC
+LIMIT 20
+"""
+
 _SQL_ORDERS_PER_CUSTOMER = """
 WITH pc AS (
   SELECT o_custkey, count(*)::BIGINT AS k FROM orders GROUP BY o_custkey
@@ -3382,6 +3413,12 @@ def q_orders_per_customer(sf_dir: str) -> rd.Dataset:
     return rel.orders_per_customer_hist(customer, orders)
 
 
+def q_skipgram_pmi(sf_dir: str) -> pa.Table:
+    """Window-3 skip-gram PMI collocations (distances collapsed; the
+    feature-building generalization of adjacent-bigram PMI)."""
+    return ts.collocations_pmi(read_docs(sf_dir), window=3)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3867,6 +3904,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "vocab_growth": q_vocab_growth,
     "orders_per_customer": q_orders_per_customer,
+    "skipgram_pmi": q_skipgram_pmi,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -3992,6 +4030,7 @@ ORACLE_SQL = {
     "token_entropy": _SQL_TOKEN_ENTROPY,
     "vocab_growth": _SQL_VOCAB_GROWTH,
     "orders_per_customer": _SQL_ORDERS_PER_CUSTOMER,
+    "skipgram_pmi": _SQL_SKIPGRAM_PMI,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -584,10 +584,17 @@ def hashed_tfidf(
 
 
 def _bigram_rows(batch: pa.Table) -> pa.Table:
+    return _pair_rows(batch, 1)
+
+
+def _pair_rows(batch: pa.Table, window: int) -> pa.Table:
+    """Ordered token pairs at distance 1..window ("a b" strings;
+    distances collapse into one count). window=1 == adjacent bigrams."""
     ids: list[str] = []
     for text in batch.column("text").to_pylist():
         toks = tokenize(text)
-        ids.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        for d in range(1, window + 1):
+            ids.extend(f"{a} {b}" for a, b in zip(toks, toks[d:]))
     return pa.table({"bigram": pa.array(ids, type=pa.string())})
 
 
@@ -601,7 +608,7 @@ def _unigram_rows(batch: pa.Table) -> pa.Table:
 
 def collocations_pmi(
     docs: rd.Dataset, min_count: int = 5, k: int = 20,
-    num_partitions: int = 8,
+    num_partitions: int = 8, window: int = 1,
 ) -> pa.Table:
     """Top-k bigram collocations by pointwise mutual information:
     pmi = ln( (c_xy / T_bigrams) / ((c_x / T_uni) * (c_y / T_uni)) ),
@@ -614,7 +621,8 @@ def collocations_pmi(
     vocabulary-sized, so it is joined, not broadcast."""
     from ray.data.aggregate import Count, Sum
 
-    big = docs.map_batches(_bigram_rows, batch_format="pyarrow")
+    big = docs.map_batches(lambda b: _pair_rows(b, window),
+                           batch_format="pyarrow")
     uni = docs.map_batches(_unigram_rows, batch_format="pyarrow")
     bcnt = big.groupby("bigram").aggregate(
         Count(alias_name="c_xy")

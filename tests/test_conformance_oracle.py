@@ -110,6 +110,7 @@ SUBSET = [
     "token_entropy",
     "vocab_growth",
     "orders_per_customer",
+    "skipgram_pmi",
 ]
 
 
