@@ -218,7 +218,7 @@ def run_bench() -> dict:
                  "trimmed_mean", "anomalous_days",
                  "late_order_priorities", "token_entropy",
                  "vocab_growth", "orders_per_customer",
-                 "skipgram_pmi"):
+                 "skipgram_pmi", "customer_value_deciles"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

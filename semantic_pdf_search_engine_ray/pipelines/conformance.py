@@ -2015,6 +2015,22 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_CUSTOMER_DECILES = """
+WITH tot AS (
+  SELECT c_custkey AS k,
+         coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                  0)::BIGINT AS total_c
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+),
+d AS (SELECT total_c,
+             ntile(10) OVER (ORDER BY total_c, k)::BIGINT AS decile
+      FROM tot)
+SELECT decile, count(*)::BIGINT AS n_customers,
+       sum(total_c)::BIGINT AS sum_c
+FROM d GROUP BY decile
+"""
+
 _SQL_SKIPGRAM_PMI = f"""
 WITH toks AS (
   SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts FROM documents
@@ -3419,6 +3435,18 @@ def q_skipgram_pmi(sf_dir: str) -> pa.Table:
     return ts.collocations_pmi(read_docs(sf_dir), window=3)
 
 
+def q_customer_value_deciles(sf_dir: str) -> rd.Dataset:
+    """Customer lifetime-value NTILE(10) segmentation (exact cents,
+    pinned ordering, zero-order customers included)."""
+    from semantic_pdf_search_engine_ray.pipelines import relational as rel
+
+    customer = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    return rel.customer_value_deciles(customer, orders)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3905,6 +3933,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "orders_per_customer": q_orders_per_customer,
     "skipgram_pmi": q_skipgram_pmi,
+    "customer_value_deciles": q_customer_value_deciles,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -4031,6 +4060,7 @@ ORACLE_SQL = {
     "vocab_growth": _SQL_VOCAB_GROWTH,
     "orders_per_customer": _SQL_ORDERS_PER_CUSTOMER,
     "skipgram_pmi": _SQL_SKIPGRAM_PMI,
+    "customer_value_deciles": _SQL_CUSTOMER_DECILES,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

@@ -729,3 +729,118 @@ def orders_per_customer_hist(
         "n_customers": pa.array([int(n_zero)], type=pa.int64()),
     }))
     return hist.union(zero_row)
+
+
+def customer_value_deciles(
+    customer: rd.Dataset, orders: rd.Dataset, num_partitions: int = 4
+) -> rd.Dataset:
+    """Customer lifetime-value deciles (the marketing segmentation
+    cut): per-customer total order cents, ranked into NTILE(10)
+    buckets with SQL's exact remainder rule — the first ``n mod 10``
+    buckets get the extra member — ordering pinned (total_c ASC,
+    custkey ASC). Zero-order customers count with total 0. Output per
+    decile: member count, summed value (exact cents).
+
+    Scale note: the per-customer totals table is |customers|-sized;
+    the decile assignment needs its global sort — at web scale that is
+    the one genuine ds.sort in this operator (range-partitioned by
+    Ray); the per-decile aggregate after it is 10 rows."""
+    totals = (
+        orders.map_batches(
+            lambda t: pa.table({
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "total_c": pa.array(_cents(
+                    t.column("o_totalprice").to_numpy(), 100)),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("total_c", alias_name="total_c"))
+        .materialize()
+    )
+    zeros = customer.select_columns(["c_custkey"]).join(
+        totals, "left_anti", num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    ).map_batches(
+        lambda t: pa.table({
+            "o_custkey": t.column("c_custkey").cast(pa.int64()),
+            "total_c": pa.array(
+                np.zeros(len(t), dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    ranked = (
+        totals.map_batches(
+            lambda t: pa.table({
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "total_c": t.column("total_c").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .union(zeros)
+        .sort(["total_c", "o_custkey"])
+        .materialize()
+    )
+    n = ranked.count()
+    base, rem = divmod(n, 10)
+
+    def decile_of(idx: np.ndarray) -> np.ndarray:
+        # NTILE remainder rule: buckets 0..rem-1 hold base+1 members
+        cut = rem * (base + 1)
+        small = np.where(idx < cut, idx // max(base + 1, 1),
+                         rem + (idx - cut) // max(base, 1))
+        return small.astype(np.int64)
+
+    # global row index via block-offset cumsum over METADATA only (the
+    # build.py doc-id pattern: per-block first/last keys + counts to
+    # the driver, never block contents)
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_c": pa.array([], type=pa.int64()),
+                             "first_k": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "first_c": pa.array([t.column("total_c")[0].as_py()],
+                                type=pa.int64()),
+            "first_k": pa.array([t.column("o_custkey")[0].as_py()],
+                                type=pa.int64()),
+            "n": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    meta = [m for m in ranked.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all() if m["n"] > 0]
+    meta.sort(key=lambda m: (m["first_c"], m["first_k"]))
+    offsets: dict[tuple, int] = {}
+    running = 0
+    for m in meta:
+        offsets[(m["first_c"], m["first_k"])] = running
+        running += m["n"]
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"decile": pa.array([], type=pa.int64()),
+                             "total_c": pa.array([], type=pa.int64())})
+        off = offsets[(t.column("total_c")[0].as_py(),
+                       t.column("o_custkey")[0].as_py())]
+        idx = off + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table({
+            "decile": pa.array(decile_of(idx) + 1),
+            "total_c": t.column("total_c").cast(pa.int64()),
+        })
+
+    return (
+        ranked.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("decile")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("total_c", alias_name="sum_c"))
+        .map_batches(
+            lambda t: pa.table({
+                "decile": t.column("decile").cast(pa.int64()),
+                "n_customers": t.column("n_customers").cast(pa.int64()),
+                "sum_c": t.column("sum_c").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

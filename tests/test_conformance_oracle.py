@@ -111,6 +111,7 @@ SUBSET = [
     "vocab_growth",
     "orders_per_customer",
     "skipgram_pmi",
+    "customer_value_deciles",
 ]
 
 
