@@ -218,7 +218,8 @@ def run_bench() -> dict:
                  "trimmed_mean", "anomalous_days",
                  "late_order_priorities", "token_entropy",
                  "vocab_growth", "orders_per_customer",
-                 "skipgram_pmi", "customer_value_deciles"):
+                 "skipgram_pmi", "customer_value_deciles",
+                 "weekday_profile", "source_dup_rate"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

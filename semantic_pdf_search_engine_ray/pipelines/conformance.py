@@ -2015,6 +2015,31 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_WEEKDAY_PROFILE = """
+SELECT event_type, (isodow(ts) - 1)::BIGINT AS weekday,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS value_c
+FROM events GROUP BY event_type, weekday
+"""
+
+_SQL_SOURCE_DUP_RATE = """
+WITH fp AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10)
+                                              || chr(13))),
+                            '[ \t\n\r]+', ' ', 'g')) AS h
+  FROM documents
+),
+cp AS (SELECT h, count(*)::BIGINT AS n_copies FROM fp GROUP BY h)
+SELECT fp.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN cp.n_copies > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_docs,
+       round(sum(CASE WHEN cp.n_copies > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_rate_r
+FROM fp JOIN cp ON cp.h = fp.h
+GROUP BY fp.source
+"""
+
 _SQL_CUSTOMER_DECILES = """
 WITH tot AS (
   SELECT c_custkey AS k,
@@ -3447,6 +3472,20 @@ def q_customer_value_deciles(sf_dir: str) -> rd.Dataset:
     return rel.customer_value_deciles(customer, orders)
 
 
+def q_weekday_profile(sf_dir: str) -> rd.Dataset:
+    """Per-(type, weekday) seasonality profile (counts + exact cents)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["ts", "event_type", "value"])
+    return win.weekday_profile(events)
+
+
+def q_source_dup_rate(sf_dir: str) -> rd.Dataset:
+    """Per-source exact-duplicate rate off the content fingerprint."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["text", "source"])
+    return ts.source_dup_rate(docs)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3934,6 +3973,8 @@ QUERIES = {
     "orders_per_customer": q_orders_per_customer,
     "skipgram_pmi": q_skipgram_pmi,
     "customer_value_deciles": q_customer_value_deciles,
+    "weekday_profile": q_weekday_profile,
+    "source_dup_rate": q_source_dup_rate,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -4061,6 +4102,8 @@ ORACLE_SQL = {
     "orders_per_customer": _SQL_ORDERS_PER_CUSTOMER,
     "skipgram_pmi": _SQL_SKIPGRAM_PMI,
     "customer_value_deciles": _SQL_CUSTOMER_DECILES,
+    "weekday_profile": _SQL_WEEKDAY_PROFILE,
+    "source_dup_rate": _SQL_SOURCE_DUP_RATE,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

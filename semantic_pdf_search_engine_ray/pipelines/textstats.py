@@ -1350,3 +1350,61 @@ def vocab_growth(docs: rd.Dataset, n_buckets: int = 10) -> rd.Dataset:
         "n_new_terms": pa.array(full_new),
         "vocab_size": pa.array(np.cumsum(full_new)),
     }))
+
+
+def source_dup_rate(docs: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Per-source EXACT-duplicate rate: fraction of a source's docs
+    whose content fingerprint appears more than once anywhere in the
+    corpus — the first metric a crawl-quality dashboard shows. Plan:
+    (md5, source) rows -> corpus-wide per-md5 copy counts (one
+    groupby) -> joined back on md5 (hash join; both sides
+    fingerprint-keyed) -> per-source dup/total counts. Rate = exact
+    ints + one float division (identical SQL expression)."""
+    from ray.data.aggregate import Count as AggCount, Sum as AggSum
+
+    def fp(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column("text"))
+        out = []
+        for t in lower.to_pylist():
+            canon = _WS_RE.sub(" ", t.strip(" \t\n\r"))
+            out.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+        return pa.table({
+            "md5": pa.array(out, type=pa.string()),
+            "source": batch.column("source"),
+        })
+
+    rows = docs.map_batches(fp, batch_format="pyarrow").materialize()
+    copies = rows.groupby("md5").aggregate(AggCount(alias_name="n_copies"))
+    joined = rows.join(
+        copies.materialize(), "inner", num_partitions,
+        on=("md5",), right_on=("md5",), right_suffix="_r",
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        n = t.column("n_copies").to_numpy()
+        return pa.table({
+            "source": t.column("source"),
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            "dup": pa.array((n > 1).astype(np.int64)),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy().astype(np.int64)
+        du = t.column("n_dup_docs").to_numpy().astype(np.int64)
+        rate = du * 1.0 / nd
+        rate_r = np.copysign(np.floor(np.abs(rate) * 1e6 + 0.5),
+                             rate) / 1e6
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(nd),
+            "n_dup_docs": pa.array(du),
+            "dup_rate_r": pa.array(rate_r, type=pa.float64()),
+        })
+
+    return (
+        joined.map_batches(mark, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(AggSum("one", alias_name="n_docs"),
+                   AggSum("dup", alias_name="n_dup_docs"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

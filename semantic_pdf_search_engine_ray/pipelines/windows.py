@@ -784,3 +784,36 @@ def anomalous_days(
         "n_events": pa.array(n[keep]),
         "z_r": pa.array(z_r, type=pa.float64()),
     }))
+
+
+def weekday_profile(events: rd.Dataset, key: str = "event_type") -> rd.Dataset:
+    """Seasonality profile: per (key, ISO weekday 0=Mon..6=Sun) event
+    counts and exact-cents value sums — the weekly-shape fingerprint
+    dashboards overlay. One hash aggregate with a 7-value derived key
+    (no skew by construction)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        # Arrow day_of_week: 0=Monday (matches DuckDB isodow-1)
+        dow = pc.day_of_week(batch.column("ts")).cast(pa.int64())
+        v = batch.column("value").to_numpy()
+        return pa.table({
+            key: batch.column(key),
+            "weekday": dow,
+            "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    return (
+        events.map_batches(derive, batch_format="pyarrow")
+        .groupby([key, "weekday"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+        .map_batches(
+            lambda t: pa.table({
+                key: t.column(key),
+                "weekday": t.column("weekday").cast(pa.int64()),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "value_c": t.column("value_c").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

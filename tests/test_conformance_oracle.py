@@ -112,6 +112,8 @@ SUBSET = [
     "orders_per_customer",
     "skipgram_pmi",
     "customer_value_deciles",
+    "weekday_profile",
+    "source_dup_rate",
 ]
 
 
