@@ -219,7 +219,8 @@ def run_bench() -> dict:
                  "late_order_priorities", "token_entropy",
                  "vocab_growth", "orders_per_customer",
                  "skipgram_pmi", "customer_value_deciles",
-                 "weekday_profile", "source_dup_rate"):
+                 "weekday_profile", "source_dup_rate",
+                 "props_field_stats"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)

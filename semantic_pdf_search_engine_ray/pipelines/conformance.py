@@ -2015,6 +2015,19 @@ SELECT p.pattern_id, d.doc_id,
 FROM pats p JOIN documents d ON contains(d.text, p.pat)
 """
 
+_SQL_PROPS_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k,
+       count(DISTINCT k)::BIGINT AS n_distinct_k
+FROM e GROUP BY event_type
+"""
+
 _SQL_WEEKDAY_PROFILE = """
 SELECT event_type, (isodow(ts) - 1)::BIGINT AS weekday,
        count(*)::BIGINT AS n_events,
@@ -3486,6 +3499,14 @@ def q_source_dup_rate(sf_dir: str) -> rd.Dataset:
     return ts.source_dup_rate(docs)
 
 
+def q_props_field_stats(sf_dir: str) -> rd.Dataset:
+    """JSON property-bag extraction + per-type aggregates (vectorized
+    Arrow regex; identical RE2 pattern in the SQL mirror)."""
+    events = rd.read_parquet(events_path(sf_dir),
+                             columns=["event_type", "props"])
+    return win.props_field_stats(events)
+
+
 def q_hll_distinct(sf_dir: str) -> rd.Dataset:
     """HyperLogLog distinct users per event_type (the approximate scale
     path next to events_distinct_users' exact two-stage groupby);
@@ -3975,6 +3996,7 @@ QUERIES = {
     "customer_value_deciles": q_customer_value_deciles,
     "weekday_profile": q_weekday_profile,
     "source_dup_rate": q_source_dup_rate,
+    "props_field_stats": q_props_field_stats,
     "user_event_lag": q_user_event_lag,
     "local_supplier_revenue": q_local_supplier_revenue,
     "promo_revenue_share": q_promo_revenue,
@@ -4104,6 +4126,7 @@ ORACLE_SQL = {
     "customer_value_deciles": _SQL_CUSTOMER_DECILES,
     "weekday_profile": _SQL_WEEKDAY_PROFILE,
     "source_dup_rate": _SQL_SOURCE_DUP_RATE,
+    "props_field_stats": _SQL_PROPS_STATS,
     "user_event_lag": _SQL_USER_EVENT_LAG,
     "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
     "promo_revenue_share": _SQL_PROMO_REVENUE,

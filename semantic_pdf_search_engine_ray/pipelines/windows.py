@@ -817,3 +817,55 @@ def weekday_profile(events: rd.Dataset, key: str = "event_type") -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+PROPS_K_PATTERN = '"k": (?P<kv>[0-9]+)'
+
+
+def props_field_stats(events: rd.Dataset, key: str = "event_type") -> rd.Dataset:
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column and aggregate it per key (count, sum,
+    min, max, distinct count) — the schema-on-read step every event
+    pipeline needs for its property bags. Extraction is VECTORIZED
+    Arrow regex (`pc.extract_regex`), no per-row JSON parser; the SQL
+    mirror uses the identical RE2 pattern, so both engines read the
+    same bytes. Distinct count is exact via the two-stage collapse
+    (the `tumbling_distinct_users` plan)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), PROPS_K_PATTERN)
+        k_val = pc.cast(pc.struct_field(m, "kv"), pa.int64())
+        return pa.table({
+            key: batch.column(key),
+            "k": k_val,
+        })
+
+    ext = events.map_batches(extract, batch_format="pyarrow")
+    per_kv = (
+        ext.groupby([key, "k"])
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
+    base = (
+        ext.groupby(key)
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("k", alias_name="sum_k"),
+                   Min("k", alias_name="min_k"),
+                   Max("k", alias_name="max_k"))
+    )
+    distinct = per_kv.groupby(key).aggregate(
+        Count(alias_name="n_distinct_k"))
+    return base.join(
+        distinct.materialize(), "inner", 2,
+        on=(key,), right_on=(key,), right_suffix="_r",
+    ).map_batches(
+        lambda t: pa.table({
+            key: t.column(key),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "sum_k": t.column("sum_k").cast(pa.int64()),
+            "min_k": t.column("min_k").cast(pa.int64()),
+            "max_k": t.column("max_k").cast(pa.int64()),
+            "n_distinct_k": t.column("n_distinct_k").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

@@ -114,6 +114,7 @@ SUBSET = [
     "customer_value_deciles",
     "weekday_profile",
     "source_dup_rate",
+    "props_field_stats",
 ]
 
 
