@@ -31,6 +31,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from semantic_pdf_search_engine_ray.config import scratch_root
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_PAGES_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "20000"))
@@ -38,7 +40,13 @@ BENCH_PAGES_DOCS = int(os.environ.get("BENCH_PAGES_DOCS", "20000"))
 # ~8 s would otherwise swamp the 8-vs-32-cpu signal), so it uses a larger
 # corpus than the per-round latency bench.
 BENCH_SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "480000"))
+BENCH_LINEDEDUP_DOCS = int(os.environ.get("BENCH_LINEDEDUP_DOCS", "100000"))
 QUERY_EXECUTIONS = int(os.environ.get("BENCH_QUERY_EXECUTIONS", "1024"))
+# Bench scratch lives on node-local tmpfs when available: the measured
+# stages should exercise the ENGINE, not whatever the data disk is doing
+# under concurrent load (verify/test sweeps sharing the box).
+SCRATCH = scratch_root()
+SCALING_JSON = os.path.join(REPO, "SCALING.json")
 
 
 def _init_ray(num_cpus: int):
@@ -73,7 +81,7 @@ def _generator_fingerprint() -> str:
 def _bench_pages_fixture() -> str:
     """Deterministic html pages fixture for the build benchmark, cached
     across runs (generation is not part of the measured build)."""
-    out = f"/tmp/spse_bench_pages_{BENCH_PAGES_DOCS}"
+    out = f"{SCRATCH}/spse_bench_pages_{BENCH_PAGES_DOCS}"
     marker = os.path.join(out, "_DONE")
     fp = _generator_fingerprint()
     have = None
@@ -117,7 +125,7 @@ def run_bench() -> dict:
 
     stages: dict[str, float] = {}
     extras: dict[str, float] = {}
-    pages_idx = "/tmp/spse_bench_index_pages"
+    pages_idx = f"{SCRATCH}/spse_bench_index_pages"
 
     # -- headline: html pages -> committed index ---------------------------
     dt, n_docs = timed_build_pages(pages_idx)
@@ -132,7 +140,7 @@ def run_bench() -> dict:
     extras["build_input_mb_per_sec"] = round(in_bytes / dt / 1e6, 2)
 
     # -- documents-table index build (sf input) ----------------------------
-    key_dir = "/tmp/spse_bench_index_docs"
+    key_dir = f"{SCRATCH}/spse_bench_index_docs"
     shutil.rmtree(key_dir, ignore_errors=True)
     from semantic_pdf_search_engine_ray.pipelines.build import (
         build_index_from_docs,
@@ -170,14 +178,22 @@ def run_bench() -> dict:
     extras["query_throughput_qps"] = round(big.num_rows / dt, 1)
     extras["query_result_rows"] = int(n_rows)
 
-    # warm per-query latency distribution (single actor, serial)
+    # warm per-query latency distribution (single actor, serial).
+    # Settle first: the batch stage's actor pool is still tearing down
+    # (worker exits + object-store reclaim steal CPU from this process
+    # for a second or two), which otherwise lands squarely in the p95.
+    import gc
+
+    gc.collect()
+    time.sleep(2.0)
     from semantic_pdf_search_engine_ray.stages.query import IndexReader
 
     reader = IndexReader(pages_idx)
     qs = qtbl.column("query").to_pylist()
     lats = []
-    for q in qs:  # cache warmup pass (not measured)
-        reader.top_k_auto(q, 5)
+    for _ in range(2):  # cache warmup passes (not measured)
+        for q in qs:
+            reader.top_k_auto(q, 5)
     for _ in range(max(1, 256 // max(len(qs), 1))):
         for q in qs:
             t1 = time.perf_counter()
@@ -229,6 +245,20 @@ def run_bench() -> dict:
         stages[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(stages.values()), 3)
+    # Machine-readable scaling evidence (north rule: efficiency >=0.8 at
+    # N vs 4N). The measurement itself MUST come from an otherwise-idle
+    # box — children at different CPU counts compete for cores with any
+    # concurrent verify/test load, which measures the box, not the
+    # engine (a round-2 run overlapping pytest measured 0.74 on code
+    # whose idle number was 0.98). `python bench.py --scaling` persists
+    # its result + protocol to SCALING.json; the per-round bench embeds
+    # that verbatim so the evidence rides along in BENCH_r{N}.json.
+    if os.path.exists(SCALING_JSON):
+        with open(SCALING_JSON) as f:
+            sc = json.load(f)
+        extras["scaling"] = sc
+        for job, rec in sc.get("jobs", {}).items():
+            extras[f"scaling_efficiency_{job}"] = rec.get("efficiency")
     return {
         "metric": "e2e headline pipelines (index build + BM25 queries + ops)",
         "value": total,
@@ -238,6 +268,79 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         **extras,
     }
+
+
+def _linededup_fixture() -> str:
+    """Deterministic heavy-duplication line corpus (30% of lines from a
+    500-line shared pool) for the second scaling pipeline — structurally
+    different from the build (groupby + two hash joins vs partitioned
+    spill+encode)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = BENCH_LINEDEDUP_DOCS
+    path = f"{SCRATCH}/spse_linesoak_{n}.parquet"
+    if not os.path.exists(path):
+        rng = np.random.RandomState(11)
+        pool = [f"shared boilerplate line {i} lorem ipsum dolor"
+                for i in range(500)]
+        docs = []
+        for d in range(n):
+            lines = []
+            for j in range(20):
+                if rng.rand() < 0.3:
+                    lines.append(pool[rng.randint(len(pool))])
+                else:
+                    lines.append(
+                        f"unique doc {d} line {j} token "
+                        f"{rng.randint(10**9)}")
+            docs.append("\n".join(lines))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def timed_linededup() -> tuple[float, int]:
+    """One cross-doc line-dedup pass over the fixture; returns
+    (seconds, lines_in)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from semantic_pdf_search_engine_ray.pipelines.dedup import (
+        global_line_dedup,
+    )
+
+    path = _linededup_fixture()
+    t0 = time.monotonic()
+    out = global_line_dedup(path, num_partitions=16)
+    agg = out.map_batches(
+        lambda b: pa.table({
+            "n_in": pa.array([pc.sum(b.column("n_lines_in")).as_py() or 0]),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas().sum()
+    return time.monotonic() - t0, int(agg.n_in)
+
+
+def _scaling_child(mode: str, cpus: int) -> dict:
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_PAGES_DOCS"] = str(BENCH_SCALING_DOCS)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), mode],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling child {mode} at {cpus} cpus failed "
+            f"(rc={p.returncode}):\n{p.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def run_scaling() -> dict:
@@ -256,40 +359,63 @@ def run_scaling() -> dict:
     lo, hi = (int(x) for x in
               os.environ.get("BENCH_SCALING_CPUS", "4,16").split(","))
     reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+    factor = hi / lo
+
+    jobs: dict[str, dict] = {}
+
+    # job 1: the headline index build (partitioned spill + encode)
     out: dict[str, dict] = {}
     for cpus in (lo, hi):
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(cpus)
-        env["BENCH_PAGES_DOCS"] = str(BENCH_SCALING_DOCS)
-        runs = []
-        for _ in range(reps):  # best-of-N: drops cold-page-cache noise
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child-build"],
-                capture_output=True, text=True, env=env, cwd=REPO,
-            )
-            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if p.returncode != 0 or not lines:
-                raise RuntimeError(
-                    f"scaling child at {cpus} cpus failed "
-                    f"(rc={p.returncode}):\n{p.stderr[-4000:]}"
-                )
-            runs.append(json.loads(lines[-1]))
+        runs = [_scaling_child("--child-build", cpus) for _ in range(reps)]
         out[str(cpus)] = min(runs, key=lambda r: r["sec"])
     t_lo = out[str(lo)]["docs_per_sec"]
     t_hi = out[str(hi)]["docs_per_sec"]
-    factor = hi / lo
-    return {
-        "metric": f"scaling efficiency ({lo} vs {hi} cpus, same build job)",
-        "value": round(t_hi / (factor * t_lo), 3),
-        "unit": "efficiency",
+    jobs["build"] = {
+        "efficiency": round(t_hi / (factor * t_lo), 3),
         f"throughput_{lo}cpu_docs_per_sec": t_lo,
         f"throughput_{hi}cpu_docs_per_sec": t_hi,
         "speedup": round(t_hi / t_lo, 2),
-        f"build_sec_{lo}cpu": out[str(lo)]["sec"],
-        f"build_sec_{hi}cpu": out[str(hi)]["sec"],
+        f"sec_{lo}cpu": out[str(lo)]["sec"],
+        f"sec_{hi}cpu": out[str(hi)]["sec"],
         "n_docs": out[str(lo)]["n_docs"],
+    }
+
+    # job 2: cross-doc line dedup (groupby + two hash joins — a
+    # structurally different shuffle chain)
+    out = {}
+    for cpus in (lo, hi):
+        runs = [_scaling_child("--child-linededup", cpus)
+                for _ in range(reps)]
+        out[str(cpus)] = min(runs, key=lambda r: r["sec"])
+    l_lo = out[str(lo)]["lines_per_sec"]
+    l_hi = out[str(hi)]["lines_per_sec"]
+    jobs["line_dedup"] = {
+        "efficiency": round(l_hi / (factor * l_lo), 3),
+        f"throughput_{lo}cpu_lines_per_sec": l_lo,
+        f"throughput_{hi}cpu_lines_per_sec": l_hi,
+        "speedup": round(l_hi / l_lo, 2),
+        f"sec_{lo}cpu": out[str(lo)]["sec"],
+        f"sec_{hi}cpu": out[str(hi)]["sec"],
+        "n_lines": out[str(lo)]["n_lines"],
+    }
+
+    result = {
+        "metric": f"scaling efficiency ({lo} vs {hi} cpus, fresh "
+                  f"processes, best-of-{reps}, same input per job)",
+        "value": jobs["build"]["efficiency"],
+        "unit": "efficiency",
+        "protocol": (
+            f"sandbox stand-in for N-vs-4N nodes: identical job at "
+            f"ray.init(num_cpus={lo}) and num_cpus={hi} in fresh "
+            f"processes on one box; efficiency = throughput_{hi} / "
+            f"({factor:g} * throughput_{lo}); valid only from an "
+            f"otherwise-idle machine"),
+        "jobs": jobs,
         "sf": SF_DIR,
     }
+    with open(SCALING_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
 
 
 def main() -> None:
@@ -304,19 +430,35 @@ def main() -> None:
         rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
             lambda b: b, batch_format="pyarrow"
         ).count()
-        dt, n_docs = timed_build_pages(f"/tmp/spse_scaling_index_{NUM_CPUS}")
+        dt, n_docs = timed_build_pages(f"{SCRATCH}/spse_scaling_index_{NUM_CPUS}")
         print(json.dumps({"sec": round(dt, 3), "n_docs": n_docs,
                           "docs_per_sec": round(n_docs / dt, 1)}))
         import ray
 
         ray.shutdown()
         return
+    if "--child-linededup" in sys.argv:
+        _init_ray(NUM_CPUS)
+        _linededup_fixture()
+        import ray.data as rd
+
+        rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
+        dt, n_lines = timed_linededup()
+        print(json.dumps({"sec": round(dt, 3), "n_lines": n_lines,
+                          "lines_per_sec": round(n_lines / dt, 1)}))
+        import ray
+
+        ray.shutdown()
+        return
     if "--scaling" in sys.argv:
-        # pre-generate the fixture once so children measure only the build
+        # pre-generate the fixtures once so children measure only the job
         global BENCH_PAGES_DOCS
         BENCH_PAGES_DOCS = BENCH_SCALING_DOCS
         _init_ray(NUM_CPUS)
         _bench_pages_fixture()
+        _linededup_fixture()
         import ray
 
         ray.shutdown()

@@ -8,7 +8,33 @@ and query through one shared model singleton, ``embed.rs:17-42``).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+
+
+def scratch_root() -> str:
+    """Node-local scratch for derived caches / spill (NOT durable output).
+
+    Prefers RAM-backed tmpfs (``/dev/shm``) when present so cache
+    rebuilds and intermediate checkpoints are never bottlenecked on — or
+    contended with — the data disk; on a real cluster every node has its
+    own tmpfs, and everything written here is derivable, so losing it
+    only costs a rebuild. Override with ``$SPSE_SCRATCH``.
+    """
+    env = os.environ.get("SPSE_SCRATCH")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        p = os.path.join(shm, "spse")
+        os.makedirs(p, exist_ok=True)
+        return p
+    import tempfile
+
+    p = os.path.join(tempfile.gettempdir(), "spse")
+    os.makedirs(p, exist_ok=True)
+    return p
 
 
 # Analyzer: lowercase + maximal [a-z0-9]+ runs. Chosen to be expressible

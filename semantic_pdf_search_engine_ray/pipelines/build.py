@@ -196,7 +196,9 @@ def assign_doc_ids_sampled(
     )
 
     if spill_dir is None:
-        spill_dir = tempfile.mkdtemp(prefix="spse_docid_spill_")
+        from semantic_pdf_search_engine_ray.config import scratch_root
+        spill_dir = tempfile.mkdtemp(prefix="spse_docid_spill_",
+                                     dir=scratch_root())
     raw_all = os.path.join(spill_dir, "raw_all")
     raw_dir = os.path.join(spill_dir, "raw")
     dedup_dir = os.path.join(spill_dir, "dedup")

@@ -31,13 +31,19 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from semantic_pdf_search_engine_ray.config import EngineConfig, TOKEN_PATTERN
+from semantic_pdf_search_engine_ray.config import (
+    EngineConfig,
+    TOKEN_PATTERN,
+    scratch_root,
+)
 from semantic_pdf_search_engine_ray.functions.chunking import chunk_document
 from semantic_pdf_search_engine_ray.functions.codec import (
     decode_doc_ids,
     decode_tfs,
 )
 from semantic_pdf_search_engine_ray.functions.textnorm import clean_text_robust
+
+_SCRATCH = scratch_root()
 from semantic_pdf_search_engine_ray.pipelines import dedup as dd
 from semantic_pdf_search_engine_ray.pipelines import sketch as sk
 from semantic_pdf_search_engine_ray.pipelines import similarity as sim
@@ -109,7 +115,7 @@ def ensure_index(sf_dir: str) -> str:
     /tmp; repeat calls hit the committed manifest and return instantly.
     The docs store carries ``lang`` so filtered search can resolve
     doc-subset predicates without touching the source table."""
-    index_dir = f"/tmp/spse_ray_index_{_sf_cache_key(sf_dir)}"
+    index_dir = f"{_SCRATCH}/spse_ray_index_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(index_dir):
         docs = rd.read_parquet(
             documents_path(sf_dir), columns=["doc_id", "text", "lang"]
@@ -266,7 +272,7 @@ def _trigram_index(sf_dir: str) -> str:
         build_trigram_index,
     )
 
-    out = f"/tmp/spse_ray_tri_{_sf_cache_key(sf_dir)}"
+    out = f"{_SCRATCH}/spse_ray_tri_{_sf_cache_key(sf_dir)}"
     build_trigram_index(documents_path(sf_dir), out,
                         input_lineage={"sf_dir": os.path.abspath(sf_dir)})
     return out
@@ -569,7 +575,7 @@ def _tombstoned_index(sf_dir: str) -> str:
     )
 
     base = ensure_index(sf_dir)
-    tomb_dir = f"/tmp/spse_ray_tomb_{_sf_cache_key(sf_dir)}"
+    tomb_dir = f"{_SCRATCH}/spse_ray_tomb_{_sf_cache_key(sf_dir)}"
     if not (mf.is_ready(tomb_dir)
             and os.path.isdir(os.path.join(tomb_dir, "tombstones"))):
         shutil.rmtree(tomb_dir, ignore_errors=True)
@@ -622,7 +628,7 @@ def q_bm25_sharded(sf_dir: str) -> pa.Table:
         run_sharded_queries_owned,
     )
 
-    root = f"/tmp/spse_ray_sharded_{_sf_cache_key(sf_dir)}"
+    root = f"{_SCRATCH}/spse_ray_sharded_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(root):
         build_sharded_index(
             read_docs(sf_dir), root, n_shards=4,
@@ -662,7 +668,7 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
         build_positions,
     )
 
-    pos_dir = f"/tmp/spse_ray_pos_{_sf_cache_key(sf_dir)}"
+    pos_dir = f"{_SCRATCH}/spse_ray_pos_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(pos_dir):
         build_positions(read_docs(sf_dir), pos_dir, CFG,
                         input_lineage={"sf_dir": os.path.abspath(sf_dir)})
@@ -709,7 +715,7 @@ def q_proximity_topk(sf_dir: str) -> pa.Table:
         build_positions,
     )
 
-    pos_dir = f"/tmp/spse_ray_pos_{_sf_cache_key(sf_dir)}"
+    pos_dir = f"{_SCRATCH}/spse_ray_pos_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(pos_dir):
         build_positions(read_docs(sf_dir), pos_dir, CFG,
                         input_lineage={"sf_dir": os.path.abspath(sf_dir)})
@@ -761,7 +767,7 @@ def q_bm25_chunks(sf_dir: str) -> pa.Table:
              "text": pa.array(texts, type=pa.string())}
         )
 
-    idx = f"/tmp/spse_ray_chunkidx_{_sf_cache_key(sf_dir)}"
+    idx = f"{_SCRATCH}/spse_ray_chunkidx_{_sf_cache_key(sf_dir)}"
     if not mf.is_ready(idx):
         build_index_from_docs(
             read_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow"),
@@ -789,9 +795,14 @@ def q_bm25_chunks(sf_dir: str) -> pa.Table:
 
 
 def q_normalize(sf_dir: str) -> rd.Dataset:
-    """Canonical M1 normalizer over the documents table (rows-only; the
-    byte-identity invariant itself is pytest-enforced on the pages
-    fixture where the expected text column exists)."""
+    """Canonical M1 normalizer over the documents table. Oracle-paired
+    (round 4): the driver's documents fixture is already-clean web text
+    — `clean_text_robust` is verified identity on every row at every
+    scale factor — so the SQL mirror pins the md5 + length of the RAW
+    text per doc, catching any normalizer change that mangles clean
+    input. The transformation behavior itself (ligatures, control
+    chars, hyphen joins, etc.) is pytest-enforced byte-level on the
+    pages fixture where an expected-text column exists."""
 
     def norm_batch(batch: pa.Table) -> pa.Table:
         outs = [clean_text_robust(t) for t in batch.column("text").to_pylist()]
@@ -986,7 +997,7 @@ def q_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     proves the non-parquet ingestion surface end-to-end (schema
     inference, int64/utf8 fidelity). Oracle compares (doc_id, n_chars)
     against the parquet view."""
-    out = f"/tmp/spse_ray_jsonl_{_sf_cache_key(sf_dir)}"
+    out = f"{_SCRATCH}/spse_ray_jsonl_{_sf_cache_key(sf_dir)}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import shutil
@@ -1032,7 +1043,7 @@ def q_csv_roundtrip(sf_dir: str) -> rd.Dataset:
     """CSV source path: documents exported once to CSV (quoted
     newlines/commas) and read back with rd.read_csv — the second
     non-parquet ingestion surface. Oracle compares (doc_id, n_chars)."""
-    out = f"/tmp/spse_ray_csv_{_sf_cache_key(sf_dir)}"
+    out = f"{_SCRATCH}/spse_ray_csv_{_sf_cache_key(sf_dir)}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import shutil
@@ -3243,7 +3254,7 @@ def q_curation_pipeline(sf_dir: str) -> rd.Dataset:
         .join(ok_ids.materialize(), "left_semi", 4, on=("doc_id",),
               right_on=("doc_id",))
     )
-    spill = f"/tmp/spse_curation_{_sf_cache_key(sf_dir)}"
+    spill = f"{_SCRATCH}/spse_curation_{_sf_cache_key(sf_dir)}"
     _shutil.rmtree(spill, ignore_errors=True)
     survivors.write_parquet(spill)
 
@@ -3265,45 +3276,75 @@ def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     return ts.lang_confusion(docs)
 
 
+def ensure_rank_store(sf_dir: str) -> str:
+    """Materialize the PageRank prior ONCE as a rank-store parquet next
+    to the index (doc_id, rank_micro) — written by `write_parquet`
+    streaming, never collected on the driver. Query actors resolve it in
+    `__init__` (the `FacetActor` doc-store-column pattern,
+    `search.py:201`); at corpus scale this column ships with the index
+    shards exactly like `doc_len` does. Idempotent via a _DONE marker
+    recording the row count."""
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    rank_dir = f"{_SCRATCH}/spse_ray_rank_{_sf_cache_key(sf_dir)}"
+    marker = os.path.join(rank_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(rank_dir, ignore_errors=True)
+        docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
+        n_docs = docs.count()
+        gr.pagerank(docs, n_docs, n_iters=5).write_parquet(rank_dir)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    return rank_dir
+
+
+class BlendedRankActor:
+    """Actor-pool stage: BM25 + static-rank blended top-k. The prior
+    column loads once per actor from the rank store (never via the
+    driver); per-shard dense layout, O(shard docs) actor memory."""
+
+    def __init__(self, index_dir: str, rank_dir: str, weight: float = 0.1):
+        import numpy as np
+
+        from semantic_pdf_search_engine_ray.stages.query import IndexReader
+
+        self.reader = IndexReader(index_dir)
+        t = pq.read_table(rank_dir, columns=["doc_id", "rank_micro"])
+        prior = np.zeros(len(self.reader.doc_len), dtype=np.float64)
+        prior[t.column("doc_id").to_numpy()] = weight * np.log(
+            t.column("rank_micro").to_numpy().astype(np.float64))
+        self.prior = prior
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from semantic_pdf_search_engine_ray.stages.query import (
+            score_query_batch,
+        )
+
+        return score_query_batch(
+            batch,
+            lambda q, k: self.reader.top_k_blended(q, k, self.prior),
+            TOP_K,
+        )
+
+
 def q_bm25_static_rank(sf_dir: str) -> pa.Table:
     """Web-search static-rank blending: score = BM25 + 0.1*ln(PageRank
     micro-units), applied over the match set only. The prior comes from
     the fixed-point PageRank (bit-exact across engines), so the only
-    float novelty vs plain BM25 is the identically-written ln term."""
-    import numpy as np
-
-    from semantic_pdf_search_engine_ray.pipelines import graph as gr
-    from semantic_pdf_search_engine_ray.stages.query import (
-        IndexReader, score_query_batch,
-    )
-
+    float novelty vs plain BM25 is the identically-written ln term.
+    Round 4: the prior is a rank-store COLUMN resolved per actor
+    (`ensure_rank_store`), not a driver-built dense array."""
     index_dir = ensure_index(sf_dir)
-    docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
-    n_docs = docs.count()
-    pr = gr.pagerank(docs, n_docs, n_iters=5).to_pandas()
-    # toy-scale dense prior; at corpus scale this is a doc-store column
-    # resolved once per actor (the facet-column pattern)
-    prior = np.zeros(n_docs, dtype=np.float64)
-    prior[pr["doc_id"].to_numpy()] = 0.1 * np.log(
-        pr["rank_micro"].to_numpy().astype(np.float64))
-    prior_ref = ray.put(prior)
+    rank_dir = ensure_rank_store(sf_dir)
     queries = derive_query_table(index_dir)
-
-    class BlendedActor:
-        def __init__(self):
-            self.reader = IndexReader(index_dir)
-            self.prior = ray.get(prior_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return score_query_batch(
-                batch,
-                lambda q, k: self.reader.top_k_blended(q, k, self.prior),
-                TOP_K,
-            )
 
     res = _collect(
         rd.from_arrow(queries).map_batches(
-            BlendedActor, batch_format="pyarrow", concurrency=2,
+            BlendedRankActor,
+            fn_constructor_args=(index_dir, rank_dir),
+            batch_format="pyarrow", concurrency=2,
             batch_size=64,
         )
     )
@@ -3314,10 +3355,11 @@ def q_bm25_static_rank(sf_dir: str) -> pa.Table:
 
 
 def q_hits_scores(sf_dir: str) -> rd.Dataset:
-    """Kleinberg HITS (2 integer fixed-point rounds on the
-    materialized edge list — the reversed-edge gather PageRank's
-    functional plan cannot do; each half-round is a hash join + grouped
-    sum, so the toy-scale cost is ~9 fixed executor launches)."""
+    """Kleinberg HITS (2 integer fixed-point rounds; round 4: the
+    dense-chunk plan — the edge list is materialized once into a
+    chunk-partitioned layout so the reversed-edge hub gather is a
+    vectorized per-chunk scatter, same exchange as PageRank's
+    functional plan; the join plan remains pytest-pinned bit-equal)."""
     from semantic_pdf_search_engine_ray.pipelines import graph as gr
 
     docs = rd.read_parquet(documents_path(sf_dir), columns=["doc_id"])
@@ -4005,7 +4047,18 @@ QUERIES = {
     "split_assign": q_split_assign,
 }
 
+# normalize: the fixture's web text is verified-clean (the M1 normalizer
+# is identity on every row), so the mirror pins md5 + char length of the
+# raw text — any engine-side mangling of clean input breaks the hash.
+_SQL_NORMALIZE = """
+SELECT doc_id,
+       md5(text) AS clean_md5,
+       length(text)::BIGINT AS clean_chars
+FROM documents
+"""
+
 ORACLE_SQL = {
+    "normalize": _SQL_NORMALIZE,
     "doc_stats": _SQL_DOC_STATS,
     "token_classes": _SQL_TOKEN_CLASSES,
     "quality": _SQL_QUALITY,

@@ -130,59 +130,70 @@ def _pairs_of_group(group: pa.Table) -> pa.Table:
 
 
 def ngram_jaccard_pairs(
-    docs: rd.Dataset, n: int = 3, threshold: float = 0.5
+    docs: rd.Dataset, n: int = 3, threshold: float = 0.5,
+    num_partitions: int = 8,
 ) -> pa.Table:
     """All doc pairs with exact word-``n``-gram Jaccard >= threshold.
 
     Exact (no approximation): per-shingle pair expansion -> pair
-    intersection counts -> Jaccard with per-doc set sizes. Output sorted
-    (doc_id_a, doc_id_b); jaccard rounded to 6 dp (matches the SQL
-    oracle's round()). Intended as the baseline/oracle for the LSH path.
+    intersection counts -> Jaccard via two hash JOINS against the
+    per-doc set-size table (round 4: previously a doc_id->size Python
+    dict shipped by ray.put — linear driver memory in corpus size; the
+    joins keep the oracle runnable at validation scale). The per-shingle
+    quadratic pair expansion remains — this is deliberately the exact
+    baseline/oracle for the LSH path, not the production path. Output
+    sorted (doc_id_a, doc_id_b); jaccard rounded to 6 dp (matches the
+    SQL oracle's round()).
     """
+    import pyarrow.compute as pc
+
     shingles = docs.map_batches(
         _shingle_rows_fn(n), batch_format="pyarrow"
     ).materialize()
 
-    sizes_tbl = shingles.groupby("doc_id").aggregate(
-        Count(alias_name="set_size")
-    ).to_arrow_refs()
-    sizes_parts = [t for t in ray.get(sizes_tbl) if t.num_rows]
-    if not sizes_parts:
-        return PAIRS_SCHEMA.empty_table()
-    sizes_at = pa.concat_tables(sizes_parts)
-    sizes = dict(
-        zip(sizes_at.column("doc_id").to_pylist(),
-            sizes_at.column("set_size").to_pylist())
+    sizes = (
+        shingles.groupby("doc_id").aggregate(Count(alias_name="set_size"))
+        .repartition(num_partitions)  # unify block schemas for the join
+        .materialize()
     )
-    sizes_ref = ray.put(sizes)
+    if sizes.count() == 0:
+        return PAIRS_SCHEMA.empty_table()
 
     inter = (
         shingles.groupby("shingle")
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_id_a", "doc_id_b"])
         .aggregate(Count(alias_name="inter"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if inter.count() == 0:
+        return PAIRS_SCHEMA.empty_table()
+
+    both = inter.join(
+        sizes, "inner", num_partitions,
+        on=("doc_id_a",), right_on=("doc_id",), right_suffix="_sa",
+    ).join(
+        sizes, "inner", num_partitions,
+        on=("doc_id_b",), right_on=("doc_id",), right_suffix="_sb",
     )
 
     def to_jaccard(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch.column("doc_id_a").to_pylist()
-        b = batch.column("doc_id_b").to_pylist()
-        it = batch.column("inter").to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for x, y, i in zip(a, b, it):
-            j = i / (sz[x] + sz[y] - i)
-            if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(round(j, 6))
+        a = batch.column("doc_id_a").to_numpy()
+        b = batch.column("doc_id_b").to_numpy()
+        it = batch.column("inter").to_numpy().astype(np.float64)
+        sa = batch.column("set_size").to_numpy().astype(np.float64)
+        sb = batch.column("set_size_sb").to_numpy().astype(np.float64)
+        j = it / (sa + sb - it)
+        keep = j >= threshold
         return pa.table(
-            {"doc_id_a": pa.array(out_a, type=pa.int64()),
-             "doc_id_b": pa.array(out_b, type=pa.int64()),
-             "jaccard": pa.array(out_j, type=pa.float64())}
+            {"doc_id_a": pa.array(a[keep], type=pa.int64()),
+             "doc_id_b": pa.array(b[keep], type=pa.int64()),
+             "jaccard": pa.array(np.round(j[keep], 6), type=pa.float64())}
         )
 
     parts = ray.get(
-        inter.map_batches(to_jaccard, batch_format="pyarrow").to_arrow_refs()
+        both.map_batches(to_jaccard, batch_format="pyarrow").to_arrow_refs()
     )
     parts = [p for p in parts if p.num_rows] or [PAIRS_SCHEMA.empty_table()]
     return pa.concat_tables(parts).sort_by(
@@ -1204,7 +1215,8 @@ def hashed_text_dup_pairs(
 
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     dense = hashed_tfidf(docs, dim=dim, dense=True)
-    tmp = tempfile.mkdtemp(prefix="spse_hashvec_", dir="/tmp")
+    from semantic_pdf_search_engine_ray.config import scratch_root
+    tmp = tempfile.mkdtemp(prefix="spse_hashvec_", dir=scratch_root())
     try:
         dense.write_parquet(tmp)
         out = embedding_dup_pairs(tmp, threshold=threshold,
@@ -1232,8 +1244,10 @@ def contamination_hits_bloom(
     SQL oracle); false positives only cost a bounded amount of exact
     re-checking. At a 10^12-doc corpus the bit array is what makes the
     per-worker broadcast feasible (GBs of strings -> tens of MBs of
-    bits), and the spill file is read only by the tiny contaminated
-    fraction of tasks.
+    bits); the exact set lives in the object store and is fetched only
+    by the tiny contaminated fraction of actors (``spill_dir`` is kept
+    for API compatibility and ignored — a filesystem spill would not be
+    visible across nodes).
 
     Double hashing (Kirsch-Mitzenmacher): idx_i = (h1 + i*h2) mod m with
     h1/h2 = the two 64-bit halves of md5 — k independent-enough probes
@@ -1261,14 +1275,14 @@ def contamination_hits_bloom(
         if "ng" in p.schema.names:
             bench.update(p.column("ng").to_pylist())
 
-    # exact set spills to parquet; only Bloom-positive tasks read it
-    if spill_dir is None:
-        spill_dir = f"/tmp/spse_decontam_bloom_{os.getpid()}"
-    os.makedirs(spill_dir, exist_ok=True)
-    spill_path = os.path.join(spill_dir, "bench_ngrams.parquet")
-    pq.write_table(
-        pa.table({"ng": pa.array(sorted(bench), type=pa.string())}),
-        spill_path,
+    # Exact set ships through the OBJECT STORE (one ray.put, fetched
+    # lazily per actor) so Bloom-positive tasks on any node can resolve
+    # it — a driver-local spill file would only be readable on nodes
+    # sharing the driver's filesystem. Only Bloom-positive actors ever
+    # call ray.get, so the string payload still moves to the (small)
+    # contaminated fraction of workers, not all of them.
+    exact_ref = ray.put(
+        pa.table({"ng": pa.array(sorted(bench), type=pa.string())})
     )
 
     m_bits = 1 << max(10, int(np.ceil(np.log2(
@@ -1317,7 +1331,7 @@ def contamination_hits_bloom(
                     continue
                 if self.exact is None:
                     self.exact = set(
-                        pq.read_table(spill_path).column("ng").to_pylist()
+                        ray.get(exact_ref).column("ng").to_pylist()
                     )
                 shared = cands & self.exact
                 if shared:

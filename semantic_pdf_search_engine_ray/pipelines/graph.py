@@ -34,6 +34,9 @@ damping 0.85; fixed-iteration is the standard batch formulation).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -479,6 +482,212 @@ def _pagerank_functional(
 
 
 HITS_INIT = 1_000_000  # hub micro-units at round 0
+EDGE_LAYOUT_VERSION = 1
+
+
+def _edge_chunk_layout(n_docs: int, max_out: int) -> str:
+    """Materialize the hash link graph ONCE as two chunk-partitioned
+    parquet layouts under node-accessible scratch:
+
+      fwd/chunk=<c>/  — edges whose SOURCE is in rank chunk ``c``
+                        (srcloc:int32 local index, dst:int64)
+      rev/chunk=<c>/  — edges whose DESTINATION is in chunk ``c``
+                        (dstloc:int32 local index, src:int64)
+
+    This is the multi-node answer to "the hub gather runs along
+    reversed edges, which the functional rule can't derive map-side":
+    the edge list is partitioned by endpoint chunk exactly like the
+    IVF cell layout (`similarity.py:build_ivf_index`), so a per-chunk
+    iteration task reads ONLY its chunk's edge file — static data is
+    read per round, never re-shuffled per round. Multi-edges are kept
+    (each parallel edge contributes separately, matching the join plan
+    and the SQL mirror). Idempotent via the manifest commit."""
+    from semantic_pdf_search_engine_ray.config import scratch_root
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    key = hashlib.md5(
+        f"{n_docs}|{max_out}|{PR_CHUNK}|v{EDGE_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(scratch_root(), f"spse_edge_chunks_{key}")
+    if mf.is_ready(root):
+        return root
+    ids = rd.range(n_docs).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    edges = derive_edges(ids, n_docs, max_out=max_out).materialize()
+
+    def fwd(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        c = s // PR_CHUNK
+        return pa.table({
+            "chunk": pa.array(c),
+            "srcloc": pa.array((s - c * PR_CHUNK).astype(np.int32)),
+            "dst": t.column("dst").cast(pa.int64()),
+        })
+
+    def rev(t: pa.Table) -> pa.Table:
+        d = t.column("dst").to_numpy()
+        c = d // PR_CHUNK
+        return pa.table({
+            "chunk": pa.array(c),
+            "dstloc": pa.array((d - c * PR_CHUNK).astype(np.int32)),
+            "src": t.column("src").cast(pa.int64()),
+        })
+
+    edges.map_batches(fwd, batch_format="pyarrow").write_parquet(
+        os.path.join(root, "fwd"), partition_cols=["chunk"])
+    edges.map_batches(rev, batch_format="pyarrow").write_parquet(
+        os.path.join(root, "rev"), partition_cols=["chunk"])
+    mf.commit_manifest(root, {
+        "kind": "edge_chunks",
+        "n_docs": int(n_docs),
+        "max_out": int(max_out),
+        "chunk": PR_CHUNK,
+        "version": EDGE_LAYOUT_VERSION,
+    })
+    return root
+
+
+def _read_chunk_edges(root: str, direction: str, c: int,
+                      loc_col: str, far_col: str):
+    """(loc:int32, far:int64) arrays for one chunk's edge partition;
+    missing directory = no edges in that direction for the chunk."""
+    import pyarrow.parquet as _pq
+
+    d = os.path.join(root, direction, f"chunk={c}")
+    if not os.path.isdir(d):
+        return (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int64))
+    t = _pq.read_table(d, columns=[loc_col, far_col])
+    return (t.column(loc_col).to_numpy().astype(np.int32, copy=False),
+            t.column(far_col).to_numpy().astype(np.int64, copy=False))
+
+
+def _hits_functional(
+    docs: rd.Dataset, n_docs: int, n_iters: int, max_out: int,
+) -> rd.Dataset:
+    """HITS on the dense-chunk plan (`_pagerank_functional`'s exchange,
+    measured ~10x faster than join + generic aggregate at 1M nodes):
+    scores live as one int64 vector per 32,768-doc chunk; each
+    half-round is one map over chunk states emitting per-target-chunk
+    sparse (idx, val) buffers + one chunk-keyed scatter-add reduce.
+
+    The authority half scatters h along FORWARD edges (fwd layout); the
+    hub half scatters a along REVERSED edges (rev layout) — both reads
+    are the chunk's own partition of the static edge layout, fully
+    vectorized (no per-row hashing in the round loop). The hub reduce
+    carries the round's authority vector through as a payload column so
+    the final state holds both scores."""
+    root = _edge_chunk_layout(n_docs, max_out)
+    n_chunks = (n_docs + PR_CHUNK - 1) // PR_CHUNK
+
+    def chunk_len(c: int) -> int:
+        return min(PR_CHUNK, n_docs - c * PR_CHUNK)
+
+    state = rd.from_arrow(pa.table({
+        "chunk": pa.array(range(n_chunks), type=pa.int64()),
+        "v": pa.array(
+            [np.full(chunk_len(c), HITS_INIT, dtype=np.int64).tobytes()
+             for c in range(n_chunks)],
+            type=pa.binary()),
+        "carry": pa.array([b""] * n_chunks, type=pa.binary()),
+    })).repartition(min(n_chunks, 32)).materialize()
+
+    def make_emit(direction: str, loc_col: str, far_col: str,
+                  carry_out: bool):
+        def emit(t: pa.Table) -> pa.Table:
+            out_c: list[int] = []
+            out_idx: list[bytes] = []
+            out_val: list[bytes] = []
+            for c, vb in zip(t.column("chunk").to_pylist(),
+                             t.column("v").to_pylist()):
+                v = np.frombuffer(vb, dtype=np.int64)
+                # marker row: carries this chunk's state forward (and
+                # guarantees every chunk reaches the reducer)
+                out_c.append(c)
+                out_idx.append(b"")
+                out_val.append(vb if carry_out else b"")
+                loc, far = _read_chunk_edges(root, direction, c,
+                                             loc_col, far_col)
+                if len(loc) == 0:
+                    continue
+                vals = v[loc]
+                tc = far // PR_CHUNK
+                order = np.argsort(tc, kind="stable")
+                tc_s = tc[order]
+                idx_s = (far[order] - tc_s * PR_CHUNK).astype(np.int32)
+                val_s = vals[order]
+                bounds = np.flatnonzero(np.diff(tc_s)) + 1
+                for lo, hi in zip(
+                        np.concatenate(([0], bounds)),
+                        np.concatenate((bounds, [len(tc_s)]))):
+                    out_c.append(int(tc_s[lo]))
+                    out_idx.append(idx_s[lo:hi].tobytes())
+                    out_val.append(val_s[lo:hi].tobytes())
+            return pa.table({
+                "chunk": pa.array(out_c, type=pa.int64()),
+                "idx": pa.array(out_idx, type=pa.binary()),
+                "val": pa.array(out_val, type=pa.binary()),
+            })
+        return emit
+
+    def reduce(group: pa.Table) -> pa.Table:
+        c = group.column("chunk")[0].as_py()
+        acc = np.zeros(chunk_len(c), dtype=np.int64)
+        carry = b""
+        for ib, vb in zip(group.column("idx").to_pylist(),
+                          group.column("val").to_pylist()):
+            if ib:
+                np.add.at(acc, np.frombuffer(ib, dtype=np.int32),
+                          np.frombuffer(vb, dtype=np.int64))
+            elif vb:
+                carry = vb
+        return pa.table({
+            "chunk": pa.array([c], type=pa.int64()),
+            "v": pa.array([acc.tobytes()], type=pa.binary()),
+            "carry": pa.array([carry], type=pa.binary()),
+        })
+
+    auth_emit = make_emit("fwd", "srcloc", "dst", carry_out=False)
+    hub_emit = make_emit("rev", "dstloc", "src", carry_out=True)
+    for _ in range(n_iters):
+        # authority half: a_{t+1}(v) = sum_{u->v} h_t(u)
+        state = (
+            state.map_batches(auth_emit, batch_format="pyarrow")
+            .groupby("chunk").map_groups(reduce, batch_format="pyarrow")
+            .materialize()
+        )
+        # hub half: h_{t+1}(v) = sum_{v->u} a_{t+1}(u); carry = a_{t+1}
+        state = (
+            state.map_batches(hub_emit, batch_format="pyarrow")
+            .groupby("chunk").map_groups(reduce, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[np.ndarray] = []
+        aus: list[np.ndarray] = []
+        hbs: list[np.ndarray] = []
+        for c, hb, ab in zip(t.column("chunk").to_pylist(),
+                             t.column("v").to_pylist(),
+                             t.column("carry").to_pylist()):
+            h = np.frombuffer(hb, dtype=np.int64)
+            ids.append(c * PR_CHUNK + np.arange(len(h), dtype=np.int64))
+            hbs.append(h)
+            aus.append(np.frombuffer(ab, dtype=np.int64))
+        if not ids:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "authority_micro": pa.array([], type=pa.int64()),
+                "hub_micro": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "authority_micro": pa.array(np.concatenate(aus)),
+            "hub_micro": pa.array(np.concatenate(hbs)),
+        })
+
+    return state.map_batches(explode, batch_format="pyarrow")
 
 
 def hits_scores(
@@ -487,6 +696,7 @@ def hits_scores(
     n_iters: int = 3,
     max_out: int = MAX_OUT_DEFAULT,
     num_partitions: int = 4,
+    functional_edges: bool = True,
 ) -> rd.Dataset:
     """Kleinberg HITS, unnormalized fixed-iteration integer form:
 
@@ -496,13 +706,26 @@ def hits_scores(
 
     Normalization is deliberately dropped (it would need a float norm
     per round); relative order per round is unchanged and every value
-    stays an exact int64, so the SQL mirror is value-identical. Unlike
-    PageRank's forward-only propagation, the hub update gathers along
-    REVERSED edges — not computable map-side from the functional edge
-    rule — so this operator uses the materialized edge list with one
-    hash join + grouped sum per half-round (the general graph plan).
+    stays an exact int64, so the SQL mirror is value-identical.
+
+    Two physical plans, identical results (pytest-pinned equal):
+
+    - ``functional_edges=True`` (default): the dense-chunk plan — the
+      hub update gathers along REVERSED edges, which the functional
+      rule can't derive map-side, so the edge list is materialized
+      ONCE into a chunk-partitioned parquet layout (fwd by source
+      chunk, rev by destination chunk; `_edge_chunk_layout`) and each
+      half-round is `_pagerank_functional`'s sparse-buffer exchange.
+    - ``functional_edges=False``: the general join plan — one hash
+      join + grouped sum per half-round over a materialized edge
+      Dataset (works for arbitrary/sparse id spaces).
+
     Output: (doc_id, authority_micro, hub_micro) after ``n_iters``
     full rounds."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if functional_edges:
+        return _hits_functional(docs, n_docs, n_iters, max_out)
     edges = derive_edges(docs, n_docs, max_out=max_out).materialize()
     doc_ids = docs.map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id").cast(pa.int64())}),

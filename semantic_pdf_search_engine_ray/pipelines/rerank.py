@@ -16,6 +16,8 @@ no full-corpus vector scan anywhere.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
@@ -132,5 +134,217 @@ def bm25_prf_rerank(
     if not out_parts:
         return RERANK_SCHEMA.empty_table()
     return pa.concat_tables(out_parts).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end hybrid retrieval: BM25 ∪ sparse-vector cosine -> RRF
+# --------------------------------------------------------------------------
+
+HYBRID_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("rrf_r", pa.float64()),
+    ]
+)
+
+
+def hybrid_sparse_rrf(
+    index_dir: str,
+    hashed_vec_path: str,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    k_cand: int = 10,
+    dim: int = 64,
+    cfg: EngineConfig | None = None,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Hybrid retrieval over ONE corpus: per text query, the BM25 top
+    ``k_cand`` (lexical leg) is fused with the hashed-tf-idf cosine top
+    ``k_cand`` (vector leg) by reciprocal-rank fusion over the UNION —
+    the engine analog of the reference's semantic search + its README's
+    "hybrid search" future improvement (`README.md:151-152`,
+    `qdrant.rs:70-96`), with the learned embedder replaced by the
+    deterministic public-knowledge featurizer (`textstats.hashed_tfidf`)
+    so the whole path is SQL-mirrorable.
+
+    The vector leg is SPARSE retrieval: the query's hashed vector has
+    <= |query terms| non-zero buckets, so cosine candidates come from a
+    bucket-key hash JOIN against the long-form vector table — the
+    inverted-index formulation of vector search (only docs sharing a
+    bucket are touched; nothing dense is scanned or broadcast). Both
+    legs rank on round(score, 6) with doc_id tiebreak; fusion is
+    rrf = 1/(60+r_lex) + 1/(60+r_vec) with a missing leg contributing 0
+    (full-outer union). Output: (query_id, rank, doc_id, rrf_r) top-k.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from semantic_pdf_search_engine_ray.functions.shingle import md5_hash64
+    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    from semantic_pdf_search_engine_ray.pipelines.search import run_queries
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    cfg = cfg or EngineConfig()
+
+    # ---- lexical leg: BM25 top-k_cand through the query actor pool ----
+    lex = (
+        run_queries(index_dir, rd.from_arrow(queries), cfg, k=k_cand)
+        .map_batches(
+            lambda t: pa.table({
+                "query_id": t.column("query_id").cast(pa.int64()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "lrank": t.column("rank").cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # ---- query hashed vectors (driver-side: |queries| x <=2 buckets) ----
+    n_docs = int(mf.load_manifest(index_dir)["n_docs"])
+    d = pq.read_table(os.path.join(index_dir, "dictionary"),
+                      columns=["term", "df"])
+    df_map = dict(zip(d.column("term").to_pylist(),
+                      d.column("df").to_pylist()))
+    q_ids: list[int] = []
+    q_buckets: list[int] = []
+    q_vals: list[float] = []
+    for qid, qtext in zip(queries.column("query_id").to_pylist(),
+                          queries.column("query").to_pylist()):
+        acc: dict[int, float] = {}
+        for term in set(tokenize(qtext)):
+            dfv = df_map.get(term)
+            if not dfv:
+                continue
+            b = md5_hash64(term) % dim
+            acc[b] = acc.get(b, 0.0) + np.log(n_docs / dfv)
+        norm = float(np.sqrt(sum(v * v for v in acc.values())))
+        if norm <= 0.0:
+            continue
+        for b, v in sorted(acc.items()):
+            q_ids.append(int(qid))
+            q_buckets.append(int(b))
+            q_vals.append(round(v / norm, 6))
+    qtbl = pa.table({
+        "query_id": pa.array(q_ids, type=pa.int64()),
+        "bucket": pa.array(q_buckets, type=pa.int64()),
+        "qval": pa.array(q_vals, type=pa.float64()),
+    })
+    q_ref = ray.put(qtbl)
+
+    # ---- vector leg: bucket-join contributions, grouped cosine sum ----
+    def contribs(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        j = batch.select(["doc_id", "bucket", "value"]).join(
+            qt, keys=["bucket"], join_type="inner"
+        )
+        if j.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "contrib": pa.array([], type=pa.float64()),
+            })
+        # map-side partial sum (combiner) before the global groupby
+        part = j.append_column(
+            "contrib",
+            pc.multiply(j.column("value"), j.column("qval")),
+        ).group_by(["query_id", "doc_id"]).aggregate([("contrib", "sum")])
+        return pa.table({
+            "query_id": part.column("query_id").cast(pa.int64()),
+            "doc_id": part.column("doc_id").cast(pa.int64()),
+            "contrib": part.column("contrib_sum").cast(pa.float64()),
+        })
+
+    cos = (
+        rd.read_parquet(hashed_vec_path)
+        .map_batches(contribs, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("contrib", alias_name="cos"))
+    )
+
+    def vec_topk(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(),
+                group.column("cos").to_pylist()),
+            key=lambda r: (-round(r[1], 6), r[0]),
+        )[:k_cand]
+        return pa.table({
+            "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "vrank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+        })
+
+    vec = (
+        cos.groupby("query_id")
+        .map_groups(vec_topk, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # ---- RRF fusion over the union of the two legs ----
+    if vec.count() == 0:
+        fused = lex.map_batches(
+            lambda t: pa.table({
+                "query_id": t.column("query_id"),
+                "doc_id": t.column("doc_id"),
+                "lrank": t.column("lrank"),
+                "vrank": pa.nulls(len(t), type=pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    else:
+        fused = lex.join(
+            vec, "full_outer", num_partitions,
+            on=("query_id", "doc_id"), right_on=("query_id", "doc_id"),
+        )
+
+    def rrf_rows(t: pa.Table) -> pa.Table:
+        lr = t.column("lrank").to_pylist()
+        vr = t.column("vrank").to_pylist()
+        rrf = [
+            (0.0 if a is None else 1.0 / (RRF_K + a))
+            + (0.0 if b is None else 1.0 / (RRF_K + b))
+            for a, b in zip(lr, vr)
+        ]
+        return pa.table({
+            "query_id": t.column("query_id").cast(pa.int64()),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "rrf": pa.array(rrf, type=pa.float64()),
+        })
+
+    def fuse_topk(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(),
+                group.column("rrf").to_pylist()),
+            key=lambda r: (-r[1], r[0]),
+        )[:k]
+        return pa.table({
+            "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "rrf_r": pa.array([round(s, 6) for _, s in rows],
+                              type=pa.float64()),
+        })
+
+    parts = [
+        p for p in ray.get(
+            fused.map_batches(rrf_rows, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(fuse_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if p.num_rows
+    ]
+    if not parts:
+        return HYBRID_SCHEMA.empty_table()
+    return pa.concat_tables(parts).sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
     )

@@ -192,7 +192,8 @@ def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
     key = hashlib.md5(
         _json.dumps([ident, n_cells, IVF_FORMAT_VERSION]).encode()
     ).hexdigest()[:16]
-    return f"/tmp/spse_ray_ivf_{key}"
+    from semantic_pdf_search_engine_ray.config import scratch_root
+    return f"{scratch_root()}/spse_ray_ivf_{key}"
 
 
 def build_ivf_index(

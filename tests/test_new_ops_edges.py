@@ -327,6 +327,30 @@ def test_pagerank_plans_bit_equal(ray_session):
     assert (fn["rank_micro"].values == jn["rank_micro"].values).all()
 
 
+def test_hits_plans_bit_equal(ray_session):
+    import pytest
+
+    import ray.data as rd
+    from semantic_pdf_search_engine_ray.pipelines import graph as gr
+
+    # > 1 chunk would need > PR_CHUNK docs (32,768) — too slow for a
+    # unit test; the chunk-boundary path is covered by the 1M-node soak
+    # (BASELINE.md) and the sf0.01 driver oracle.
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(90)), type=pa.int64()),
+    }))
+    fn = gr.hits_scores(docs, 90, n_iters=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    jn = gr.hits_scores(docs, 90, n_iters=3,
+                        functional_edges=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (fn["authority_micro"].values
+            == jn["authority_micro"].values).all()
+    assert (fn["hub_micro"].values == jn["hub_micro"].values).all()
+    with pytest.raises(ValueError):
+        gr.hits_scores(docs, 90, n_iters=0)
+
+
 def test_rollup_levels_consistent(ray_session):
     import ray.data as rd
     from semantic_pdf_search_engine_ray.pipelines.windows import (
