@@ -80,7 +80,16 @@ def _generator_fingerprint() -> str:
 
 def _bench_pages_fixture() -> str:
     """Deterministic html pages fixture for the build benchmark, cached
-    across runs (generation is not part of the measured build)."""
+    across runs (generation is not part of the measured build).
+
+    When the cache is stale, generation runs in a SUBPROCESS with its
+    own Ray session: running the generation job inside the measuring
+    session degrades the immediately-following timed build by ~1.6x
+    (measured: 15.7 s vs 9.8 s for the 20k-doc build — leftover worker/
+    object-store state from the generation job). This was the round-3
+    driver-bench regression: the r3 code changes rotated the generator
+    fingerprint, so the driver's run regenerated in-session while the
+    idle-box runs used the warm cache."""
     out = f"{SCRATCH}/spse_bench_pages_{BENCH_PAGES_DOCS}"
     marker = os.path.join(out, "_DONE")
     fp = _generator_fingerprint()
@@ -89,14 +98,30 @@ def _bench_pages_fixture() -> str:
         with open(marker) as f:
             have = f.read().strip()
     if have != fp:
-        from semantic_pdf_search_engine_ray.sources.pages import (
-            generate_pages_parquet_ray,
-        )
+        import ray
 
         shutil.rmtree(out, ignore_errors=True)
-        generate_pages_parquet_ray(out, n_docs=BENCH_PAGES_DOCS)
-        with open(marker, "w") as f:
-            f.write(fp)
+        if ray.is_initialized() and "--gen-fixture" not in sys.argv:
+            env = dict(os.environ)
+            env["BENCH_PAGES_DOCS"] = str(BENCH_PAGES_DOCS)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--gen-fixture"],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            if p.returncode != 0 or not os.path.exists(marker):
+                raise RuntimeError(
+                    f"fixture generation child failed (rc={p.returncode}):"
+                    f"\n{p.stderr[-2000:]}"
+                )
+        else:
+            from semantic_pdf_search_engine_ray.sources.pages import (
+                generate_pages_parquet_ray,
+            )
+
+            generate_pages_parquet_ray(out, n_docs=BENCH_PAGES_DOCS)
+            with open(marker, "w") as f:
+                f.write(fp)
     return out
 
 
@@ -204,6 +229,74 @@ def run_bench() -> dict:
         extras["query_p50_ms"] = round(lats[len(lats) // 2], 3)
         extras["query_p95_ms"] = round(lats[int(len(lats) * 0.95)], 3)
 
+    # -- composed serving config through the persistent owner tier ---------
+    # The realistic production query (VERDICT r3 next #9): facet-filtered
+    # + tombstone-masked + static-rank-blended, streamed through
+    # OwnedQueryTier.query_stream over a 4-shard doc-range layout.
+    import pyarrow.parquet as pq_
+
+    from semantic_pdf_search_engine_ray.pipelines.delete import (
+        delete_documents,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        OwnedQueryTier, build_sharded_index,
+    )
+    from semantic_pdf_search_engine_ray.stages.extract import ExtractHtml
+    from semantic_pdf_search_engine_ray.pipelines.build import assign_doc_ids
+
+    shroot = f"{SCRATCH}/spse_bench_index_sharded"
+    shutil.rmtree(shroot, ignore_errors=True)
+    t0 = time.monotonic()
+    pages = rd.read_parquet(fixture, columns=["url", "warc_ts", "html",
+                                              "lang"])
+    docs_ds = assign_doc_ids(pages.map_batches(
+        ExtractHtml(False), batch_format="pyarrow", batch_size=256))
+    shm = build_sharded_index(docs_ds, shroot, n_shards=4,
+                              input_lineage={"bench": "serving"})
+    stages["build_sharded_index"] = round(time.monotonic() - t0, 3)
+
+    rank_dir = f"{SCRATCH}/spse_bench_rankstore"
+    shutil.rmtree(rank_dir, ignore_errors=True)
+    os.makedirs(rank_dir)
+    n_sh = int(shm["n_docs"])
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(range(n_sh), type=pa.int64()),
+        "rank_micro": pa.array(
+            [((i * 2654435761) % 999983) + 17 for i in range(n_sh)],
+            type=pa.int64()),
+    }), os.path.join(rank_dir, "part-0.parquet"))
+    dead = list(range(0, n_sh, 100))  # 1% tombstoned
+    for name in shm["shards"]:
+        delete_documents(os.path.join(shroot, name), dead)
+    serving = {"filter_col": "lang", "filter_values": {"en"},
+               "rank_dir": rank_dir, "rank_weight": 0.1}
+    qbatches = [big.slice(off, 256)
+                for off in range(0, big.num_rows, 256)]
+    slats: list[float] = []
+    with OwnedQueryTier(shroot, n_owners=4, serving=serving) as tier:
+        # one tiny warmup call so owner construction + shard load are
+        # not billed to steady-state stream throughput
+        tier.query(qbatches[0].slice(0, 8), k=5)
+        t0 = time.monotonic()
+        n_served = 0
+        for out in tier.query_stream(iter(qbatches), k=5):
+            n_served += 1
+        dt = time.monotonic() - t0
+        # per-query latency through the composed path (serial, warm)
+        for q in qs[:16]:
+            t1 = time.perf_counter()
+            tier.query(pa.table({
+                "query_id": pa.array([0], type=pa.int64()),
+                "query": pa.array([q]),
+            }), k=5)
+            slats.append((time.perf_counter() - t1) * 1000)
+    stages["bm25_serving_composed"] = round(dt, 3)
+    extras["serving_qps"] = round(big.num_rows / dt, 1)
+    slats.sort()
+    if slats:
+        extras["serving_p50_ms"] = round(slats[len(slats) // 2], 3)
+        extras["serving_p95_ms"] = round(slats[int(len(slats) * 0.95)], 3)
+
     # -- operator sweep over the sf tables ---------------------------------
     for name in ("dedup_minhash_lsh", "dedup_exact", "dedup_simhash",
                  "ann_brute_topk", "ann_ivf_topk",
@@ -236,7 +329,9 @@ def run_bench() -> dict:
                  "vocab_growth", "orders_per_customer",
                  "skipgram_pmi", "customer_value_deciles",
                  "weekday_profile", "source_dup_rate",
-                 "props_field_stats"):
+                 "props_field_stats",
+                 # round-4 additions
+                 "hybrid_topk"):
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)
@@ -419,6 +514,15 @@ def run_scaling() -> dict:
 
 
 def main() -> None:
+    if "--gen-fixture" in sys.argv:
+        # fixture-generation child: own Ray session, exits clean so the
+        # parent's measuring session never sees the generation job
+        _init_ray(NUM_CPUS)
+        _bench_pages_fixture()
+        import ray
+
+        ray.shutdown()
+        return
     if "--child-build" in sys.argv:
         _init_ray(NUM_CPUS)
         # fixture pre-generated outside the timed region

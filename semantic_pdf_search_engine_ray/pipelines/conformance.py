@@ -3922,6 +3922,130 @@ SELECT doc_id, bucket,
 FROM b
 """
 
+K_CAND_HYBRID = 10
+
+
+def ensure_hashed_vec_store(sf_dir: str) -> str:
+    """Materialize the corpus's hashed-tf-idf LONG-form vectors
+    (doc_id, bucket, value) once as parquet — the sparse 'embedding
+    store' the hybrid retrieval path joins against. Written by
+    ``write_parquet`` streaming; idempotent via a _DONE marker."""
+    vec_dir = f"{_SCRATCH}/spse_ray_hvec_{_sf_cache_key(sf_dir)}"
+    marker = os.path.join(vec_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(vec_dir, ignore_errors=True)
+        ts.hashed_tfidf(read_docs(sf_dir)).write_parquet(vec_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return vec_dir
+
+
+def q_hybrid_topk(sf_dir: str) -> pa.Table:
+    """End-to-end HYBRID retrieval over one corpus (VERDICT r3 next #5;
+    the reference's semantic-search capability, `embed.rs:44-78` +
+    `qdrant.rs:70-96`, re-expressed with the deterministic
+    public-knowledge featurizer): per text query, BM25 top-10 (lexical
+    leg) fused with hashed-tf-idf sparse-cosine top-10 (vector leg,
+    bucket-join inverted retrieval — no dense scan) by reciprocal-rank
+    fusion; output the fused top-5."""
+    from semantic_pdf_search_engine_ray.pipelines.rerank import (
+        hybrid_sparse_rrf,
+    )
+
+    index_dir = ensure_index(sf_dir)
+    vec_dir = ensure_hashed_vec_store(sf_dir)
+    queries = derive_query_table(index_dir)
+    return hybrid_sparse_rrf(
+        index_dir, vec_dir, queries, k=TOP_K, k_cand=K_CAND_HYBRID,
+        dim=ts.HASHED_TFIDF_DIM,
+    )
+
+
+_SQL_HYBRID_TOPK = f"""
+WITH {_TOKS_CTE},
+qterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, a.term FROM head a WHERE a.r < {N_HEAD_TERMS - 1}
+  UNION ALL
+  SELECT ({N_HEAD_TERMS} + a.r)::BIGINT, b.term
+  FROM head a JOIN head b ON b.r = a.r + 1 WHERE a.r < {N_HEAD_TERMS - 1}
+),
+scores AS (
+  SELECT qt.query_id, tf.doc_id, sum({_BM25_CONTRIB}) AS score
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, lrank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC)::BIGINT AS lrank
+    FROM scores
+  ) WHERE lrank <= {K_CAND_HYBRID}
+),
+hvw AS (
+  SELECT tf.doc_id,
+         (md5_number_lower(tf.term) % {ts.HASHED_TFIDF_DIM})::BIGINT AS bucket,
+         sum(tf.tf * ln(s.n_docs * 1.0 / df.df)) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, bucket
+),
+hv AS (
+  SELECT doc_id, bucket,
+         round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS value
+  FROM hvw WHERE w != 0
+),
+qw AS (
+  SELECT qt.query_id,
+         (md5_number_lower(qt.term) % {ts.HASHED_TFIDF_DIM})::BIGINT AS bucket,
+         sum(ln(s.n_docs * 1.0 / df.df)) AS w
+  FROM (SELECT DISTINCT query_id, term FROM qterms) qt
+  JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY qt.query_id, bucket
+),
+qvec AS (
+  SELECT query_id, bucket,
+         round(w / sqrt(sum(w * w) OVER (PARTITION BY query_id)), 6) AS qval
+  FROM qw WHERE w != 0
+),
+cosim AS (
+  SELECT q.query_id, h.doc_id, sum(h.value * q.qval) AS cos
+  FROM qvec q JOIN hv h USING (bucket)
+  GROUP BY q.query_id, h.doc_id
+),
+vec AS (
+  SELECT query_id, doc_id, vrank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(cos, 6) DESC, doc_id ASC)::BIGINT AS vrank
+    FROM cosim
+  ) WHERE vrank <= {K_CAND_HYBRID}
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + l.lrank), 0.0)
+           + coalesce(1.0 / (60 + v.vrank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_r FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rank,
+         round(rrf, 6) AS rrf_r
+  FROM fused
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "token_classes": q_token_classes,
@@ -3951,6 +4075,7 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
+    "hybrid_topk": q_hybrid_topk,
     "phrase_topk": q_phrase_topk,
     "proximity_topk": q_proximity_topk,
     "bm25_chunks_topk": q_bm25_chunks,
@@ -4158,6 +4283,7 @@ ORACLE_SQL = {
     "curation_pipeline": _SQL_CURATION_PIPELINE,
     "lang_confusion": _SQL_LANG_CONFUSION,
     "bm25_static_rank": _SQL_BM25_STATIC_RANK,
+    "hybrid_topk": _SQL_HYBRID_TOPK,
     "hits_scores": _SQL_HITS,
     "pagerank_seeded": _SQL_PAGERANK_SEEDED,
     "triangle_count": _SQL_TRIANGLES,
@@ -4186,8 +4312,7 @@ ORACLE_SQL = {
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,
-    # rows-only (non-SQL-expressible): chunks, normalize, highlights
-    # (pure-Python value oracle in tests/test_conformance_oracle.py),
-    # ann_ivf_pruned (approximate by design; full-probe IVF is
-    # oracle-exact)
+    # rows-only (non-SQL-expressible): chunks, highlights (pure-Python
+    # value oracles in tests/test_conformance_oracle.py), ann_ivf_pruned
+    # (approximate by design; full-probe IVF is oracle-exact)
 }

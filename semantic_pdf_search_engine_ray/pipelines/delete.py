@@ -40,7 +40,16 @@ def delete_documents(index_dir: str, doc_ids: Iterable[int]) -> int:
         return 0
     tdir = os.path.join(index_dir, "tombstones")
     os.makedirs(tdir, exist_ok=True)
-    seq = sum(1 for f in os.listdir(tdir) if f.endswith(".parquet"))
+    # max(existing)+1, not a file count: a gap in the sequence (crash
+    # cleanup, manual removal) must never make a new tombstone file
+    # os.replace over an old one — that would silently un-delete docs.
+    existing = [
+        int(f[len("del_"):-len(".parquet")])
+        for f in os.listdir(tdir)
+        if f.startswith("del_") and f.endswith(".parquet")
+        and f[len("del_"):-len(".parquet")].isdigit()
+    ]
+    seq = max(existing, default=-1) + 1
     final = os.path.join(tdir, f"del_{seq:05d}.parquet")
     tmp = final + ".tmp"
     pq.write_table(

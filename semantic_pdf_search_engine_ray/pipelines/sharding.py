@@ -394,6 +394,67 @@ class ShardedReader:
             return []
         return self.readers[0].suggest(term, max_dist, top_n)
 
+    def configure_serving(
+        self,
+        filter_col: str | None = None,
+        filter_values: set[str] | None = None,
+        rank_dir: str | None = None,
+        rank_weight: float = 0.1,
+    ) -> None:
+        """Resolve the realistic serving configuration ONCE per reader
+        (i.e. once per owner actor): a facet filter mask (``filter_col``
+        in ``filter_values``, from each shard's OWN docs store) and a
+        static-rank prior (``rank_weight * ln(rank_micro)`` from a
+        (doc_id, rank_micro) rank-store parquet, range-pruned to the
+        shard's doc span). Both are per-shard dense arrays — O(shard
+        docs) memory per owner, nothing corpus-sized on the driver.
+        Tombstones already live inside each shard's IndexReader, so a
+        subsequent ``top_k_serving`` composes all three."""
+        import pyarrow.dataset as pads
+
+        for r in self.readers:
+            size = len(r.doc_len)
+            allowed = None
+            if filter_col is not None:
+                f = pq.read_table(
+                    os.path.join(r.index_dir, "docs"),
+                    columns=["doc_id", filter_col])
+                allowed = np.zeros(size, dtype=bool)
+                vals = f.column(filter_col).to_pylist()
+                ids = f.column("doc_id").to_numpy()
+                keep = np.array(
+                    [v in filter_values for v in vals], dtype=bool)
+                allowed[ids[keep]] = True
+            prior = None
+            if rank_dir is not None:
+                ids_all = pq.read_table(
+                    os.path.join(r.index_dir, "docs"),
+                    columns=["doc_id"]).column("doc_id").to_numpy()
+                lo, hi = int(ids_all.min()), int(ids_all.max())
+                t = pads.dataset(rank_dir).to_table(
+                    columns=["doc_id", "rank_micro"],
+                    filter=(pads.field("doc_id") >= lo)
+                    & (pads.field("doc_id") <= hi))
+                prior = np.zeros(size, dtype=np.float64)
+                rid = t.column("doc_id").to_numpy()
+                prior[rid] = rank_weight * np.log(
+                    t.column("rank_micro").to_numpy().astype(np.float64))
+            r._serving_allowed = allowed
+            r._serving_prior = prior
+
+    def top_k_serving(self, query: str, k: int) -> list[tuple[int, float]]:
+        """The composed production query: facet-filtered, tombstone-
+        masked, static-rank-blended top-k (configure_serving first)."""
+        def per_shard(r):
+            prior = getattr(r, "_serving_prior", None)
+            allowed = getattr(r, "_serving_allowed", None)
+            if prior is not None:
+                return r.top_k_blended(query, k, prior, allowed=allowed)
+            if allowed is not None:
+                return r.top_k_filtered(query, k, allowed)
+            return r.top_k_auto(query, k)
+        return self._merge(per_shard, k)
+
 
 class ShardedQueryActor:
     """Actor-pool stage over a sharded index (same batch contract as
@@ -424,12 +485,18 @@ class ShardOwnerActor:
     owner is scheduled on the node holding its shards; per-actor memory
     is the shard subset, not the whole index)."""
 
-    def __init__(self, root_dir: str, owner_idx: int, n_owners: int):
+    def __init__(self, root_dir: str, owner_idx: int, n_owners: int,
+                 serving: dict | None = None):
         m = mf.load_manifest(root_dir)
         mine = [s for i, s in enumerate(m["shards"])
                 if i % n_owners == owner_idx]
         self.reader = ShardedReader(root_dir, shard_names=mine) if mine \
             else None
+        # the composed serving config (facet filter + rank prior)
+        # resolves once per owner over its OWNED shards only
+        self._serving = bool(serving)
+        if self.reader is not None and serving:
+            self.reader.configure_serving(**serving)
 
     def partials(self, queries: pa.Table, k: int) -> pa.Table:
         """Per-query top-k over OWNED shards only: (query_id, doc_id,
@@ -445,10 +512,13 @@ class ShardOwnerActor:
 
             for qid, qtext in zip(queries.column("query_id").to_pylist(),
                                   queries.column("query").to_pylist()):
-                pfx = as_prefix_query(qtext)
-                hits = (self.reader.top_k_prefix(pfx, k)
-                        if pfx is not None
-                        else self.reader.top_k(qtext, k))
+                if self._serving:
+                    hits = self.reader.top_k_serving(qtext, k)
+                else:
+                    pfx = as_prefix_query(qtext)
+                    hits = (self.reader.top_k_prefix(pfx, k)
+                            if pfx is not None
+                            else self.reader.top_k(qtext, k))
                 for doc_id, score in hits:
                     qids.append(qid)
                     docs.append(doc_id)
@@ -508,10 +578,16 @@ class OwnedQueryTier:
     node holding its shards; per-actor memory is the owned shard subset.
     """
 
-    def __init__(self, root_dir: str, n_owners: int = 2):
+    def __init__(self, root_dir: str, n_owners: int = 2,
+                 serving: dict | None = None):
+        """``serving`` (optional) is the composed production config,
+        forwarded to each owner's ``ShardedReader.configure_serving``:
+        ``{"filter_col": ..., "filter_values": {...}, "rank_dir": ...,
+        "rank_weight": ...}`` — facet-filtered, tombstone-masked,
+        static-rank-blended queries with per-owner state resolution."""
         self.n_owners = n_owners
         self.owners = [
-            ShardOwnerActor.remote(root_dir, i, n_owners)
+            ShardOwnerActor.remote(root_dir, i, n_owners, serving)
             for i in range(n_owners)
         ]
 

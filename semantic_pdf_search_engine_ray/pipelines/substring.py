@@ -317,9 +317,20 @@ class _RegexMixin:
         required literal run, OR across alternation branches. Raises if
         the pattern has no required literal of >= 3 chars anywhere (a
         corpus scan in disguise — same refusal as short substrings)."""
+        import re as _re
         import re._parser as sre_parse
 
-        cand = _literal_runs_candidates(self, sre_parse.parse(pattern))
+        parsed = sre_parse.parse(pattern)
+        # Literal-affecting inline flags ((?i)/(?s)/(?x)...) would make the
+        # trigram plan prune case-SENSITIVELY while re.search verifies
+        # case-insensitively — silent false negatives. Refuse them the same
+        # way unplannable patterns are refused rather than degrade quietly.
+        bad = parsed.state.flags & (_re.IGNORECASE | _re.LOCALE | _re.VERBOSE)
+        if bad:
+            raise ValueError(
+                f"regex uses unsupported inline flags ({_re.RegexFlag(bad)!r}); "
+                "the trigram planner indexes literal runs case-sensitively")
+        cand = _literal_runs_candidates(self, parsed)
         if cand is None:
             raise ValueError(
                 "regex has no required literal of >= "

@@ -773,6 +773,17 @@ def anomalous_days(
     mean = s1 * 1.0 / m
     var = s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m)
     std = float(np.sqrt(var))
+    if std == 0.0:
+        # zero variance = every day identical = nothing anomalous; the
+        # SQL mirror's `abs((n-mean)/std) > t` is likewise empty (NULL
+        # from division never exceeds t). Guarding avoids nan/inf flags.
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "day": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "z_r": pa.array([], type=pa.float64()),
+        }))
     z = (n - mean) / std
     keep = np.abs(z) > z_threshold
     z_r = np.copysign(np.floor(np.abs(z[keep]) * 1e6 + 0.5),

@@ -67,6 +67,7 @@ class IndexReader:
 
     def __init__(self, index_dir: str):
         m = mf.load_manifest(index_dir)
+        self.index_dir = index_dir
         self.params = m["params"]
         self.k1 = float(self.params["k1"])
         self.b = float(self.params["b"])
@@ -493,7 +494,8 @@ class IndexReader:
         return self.top_k_exhaustive(query, k, allowed=allowed)
 
     def top_k_blended(
-        self, query: str, k: int, prior: np.ndarray
+        self, query: str, k: int, prior: np.ndarray,
+        allowed: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Web-search static-rank blending: final score = BM25 +
         ``prior[doc]`` (e.g. a damped log-PageRank), applied ONLY to
@@ -501,8 +503,11 @@ class IndexReader:
         match set, it never admits non-matching docs. ``prior`` is a
         dense float64 array over the doc space (at corpus scale: a
         doc-store column resolved once per actor, like the facet
-        column). Tie-break stays (score DESC, doc_id ASC)."""
-        allowed = self._live(None)
+        column). An optional ``allowed`` doc-subset mask (facet filter)
+        ANDs with the tombstone mask — the full serving configuration
+        (filtered + tombstoned + prior-blended) composes in one call.
+        Tie-break stays (score DESC, doc_id ASC)."""
+        allowed = self._live(allowed)
         scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
         for term in query_terms(query):

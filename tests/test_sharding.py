@@ -471,3 +471,110 @@ def test_upsert_replaces_url_version(ray_session, tmp_path):
     # with ingest by contract -- df/N update, avgdl stays pinned)
     assert [d for d, _ in r1.top_k("stable", 5)] == \
         [d for d, _ in before_stable]
+
+
+def test_composed_serving_tier_bit_identical_to_mono(
+    ray_session, tmp_path_factory
+):
+    """The realistic serving configuration — facet-FILTERED,
+    TOMBSTONE-masked, static-rank-BLENDED — composed through the
+    persistent owner tier is bit-identical (doc_id AND score) to the
+    same composition on a monolithic IndexReader.  This is the query
+    the 256-node story actually serves, so the whole chain is pinned:
+    per-owner mask/prior resolution, tombstone AND, blended tie-break,
+    k-way owner merge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines.build import (
+        build_index_from_docs,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.delete import (
+        delete_documents,
+    )
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        OwnedQueryTier,
+        build_sharded_index,
+    )
+    from semantic_pdf_search_engine_ray.stages.query import IndexReader
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
+    base = tmp_path_factory.mktemp("serving")
+    n = 400
+    rng = np.random.RandomState(7)
+    langs = np.array(["en", "de", "fr"])[rng.randint(0, 3, n)]
+    words = ["alpha", "beta", "gamma", "delta", "shared", "rare"]
+    texts = [
+        " ".join(words[rng.randint(0, len(words))] for _ in range(12))
+        for _ in range(n)
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs.tolist()),
+    })
+
+    mono = str(base / "mono")
+    build_index_from_docs(rd.from_arrow(tbl), mono,
+                          input_lineage={"t": "serv-mono"})
+    root = str(base / "sharded")
+    m = build_sharded_index(rd.from_arrow(tbl), root, n_shards=4,
+                            input_lineage={"t": "serv-shard"})
+
+    # synthetic deterministic rank store (doc_id, rank_micro)
+    rank_dir = str(base / "rank")
+    import os
+    os.makedirs(rank_dir)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "rank_micro": pa.array([(i * 37) % 5000 + 100 for i in range(n)],
+                               type=pa.int64()),
+    }), os.path.join(rank_dir, "part-0.parquet"))
+
+    # tombstone the same ids everywhere (per-shard readers load their
+    # own dir; out-of-range ids are ignored by the mask)
+    dead = [5, 17, 123, 250, 399]
+    delete_documents(mono, dead)
+    for name in m["shards"]:
+        delete_documents(os.path.join(root, name), dead)
+
+    # monolithic reference: same composition, resolved globally
+    reader = IndexReader(mono)
+    size = len(reader.doc_len)
+    allowed = np.zeros(size, dtype=bool)
+    allowed[:n] = langs == "en"
+    rt = pq.read_table(rank_dir)
+    prior = np.zeros(size, dtype=np.float64)
+    prior[rt.column("doc_id").to_numpy()] = 0.1 * np.log(
+        rt.column("rank_micro").to_numpy().astype(np.float64))
+
+    queries = ["shared", "alpha beta", "rare", "gamma delta shared",
+               "zzznotaterm"]
+    qtbl = pa.table({
+        "query_id": pa.array(range(len(queries)), type=pa.int64()),
+        "query": pa.array(queries),
+    })
+
+    serving = {"filter_col": "lang", "filter_values": {"en"},
+               "rank_dir": rank_dir, "rank_weight": 0.1}
+    with OwnedQueryTier(root, n_owners=3, serving=serving) as tier:
+        got = tier.query(qtbl, k=5)
+        streamed = pa.concat_tables(list(tier.query_stream([qtbl], k=5)))
+    assert got.equals(streamed)
+
+    by_q = {}
+    for qid, doc, score in zip(got.column("query_id").to_pylist(),
+                               got.column("doc_id").to_pylist(),
+                               got.column("score").to_pylist()):
+        by_q.setdefault(qid, []).append((doc, score))
+    for qid, q in enumerate(queries):
+        want = reader.top_k_blended(q, 5, prior, allowed=allowed)
+        assert by_q.get(qid, []) == want, (
+            f"composed serving mismatch on {q!r}")
+    # deleted + filtered docs never surface
+    surfaced = {d for d, _ in sum(by_q.values(), [])}
+    assert not surfaced & set(dead)
+    assert all(langs[d] == "en" for d in surfaced)
