@@ -173,10 +173,35 @@ def timed_build_pages(index_dir: str) -> tuple[float, int]:
     return dt, int(manifest["n_docs"])
 
 
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _host_conditions(s0: list[int], s1: list[int]) -> dict:
+    """CPU-time split over the benchmarked interval. This VM shares a
+    host: measured steal has ranged 3-75% across a session, which
+    swings every wall-clock number here by up to ~4x run-to-run
+    (dedup_minhash_lsh: 15 s at low steal, 50+ s under heavy steal,
+    identical code). Recording the split makes cross-round comparisons
+    interpretable."""
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = max(sum(d), 1)
+    return {
+        "user_pct": round(100 * d[0] / tot, 1),
+        "system_pct": round(100 * d[2] / tot, 1),
+        "idle_pct": round(100 * d[3] / tot, 1),
+        "iowait_pct": round(100 * d[4] / tot, 1),
+        "steal_pct": round(100 * d[7] / tot, 1),
+    }
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
+
+    cpu0 = _cpu_stat()
 
     from semantic_pdf_search_engine_ray.pipelines import conformance as cf
     from semantic_pdf_search_engine_ray.pipelines.search import run_queries
@@ -333,8 +358,30 @@ def run_bench() -> dict:
     extras["serving_qps"] = round(big.num_rows / dt, 1)
     slats.sort()
     if slats:
+        # tier latency = engine work + ~8 ms/hop Ray actor RPC floor on
+        # this virtualized box (measured with a bare ping actor); the
+        # in-process number below isolates the engine's share
         extras["serving_p50_ms"] = round(slats[len(slats) // 2], 3)
         extras["serving_p95_ms"] = round(slats[int(len(slats) * 0.95)], 3)
+
+    from semantic_pdf_search_engine_ray.pipelines.sharding import (
+        ShardedReader,
+    )
+
+    inproc = ShardedReader(shroot)
+    inproc.configure_serving(**serving)
+    ilats: list[float] = []
+    for q in qs:
+        inproc.top_k_serving(q, 5)
+    for _ in range(max(1, 128 // max(len(qs), 1))):
+        for q in qs:
+            t1 = time.perf_counter()
+            inproc.top_k_serving(q, 5)
+            ilats.append((time.perf_counter() - t1) * 1000)
+    ilats.sort()
+    extras["serving_inproc_p50_ms"] = round(ilats[len(ilats) // 2], 3)
+    extras["serving_inproc_p95_ms"] = round(
+        ilats[int(len(ilats) * 0.95)], 3)
 
     # -- operator sweep over the sf tables ---------------------------------
     # fresh session every few keys: see _restart_ray. Key TIMINGS stay
@@ -402,6 +449,7 @@ def run_bench() -> dict:
         extras["scaling"] = sc
         for job, rec in sc.get("jobs", {}).items():
             extras[f"scaling_efficiency_{job}"] = rec.get("efficiency")
+    extras["host_conditions"] = _host_conditions(cpu0, _cpu_stat())
     return {
         "metric": "e2e headline pipelines (index build + BM25 queries + ops)",
         "value": total,
@@ -582,9 +630,11 @@ def main() -> None:
         rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
             lambda b: b, batch_format="pyarrow"
         ).count()
+        s0 = _cpu_stat()
         dt, n_docs = timed_build_pages(f"{SCRATCH}/spse_scaling_index_{NUM_CPUS}")
         print(json.dumps({"sec": round(dt, 3), "n_docs": n_docs,
-                          "docs_per_sec": round(n_docs / dt, 1)}))
+                          "docs_per_sec": round(n_docs / dt, 1),
+                          "host": _host_conditions(s0, _cpu_stat())}))
         import ray
 
         ray.shutdown()
@@ -597,9 +647,11 @@ def main() -> None:
         rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
             lambda b: b, batch_format="pyarrow"
         ).count()
+        s0 = _cpu_stat()
         dt, n_lines = timed_linededup()
         print(json.dumps({"sec": round(dt, 3), "n_lines": n_lines,
-                          "lines_per_sec": round(n_lines / dt, 1)}))
+                          "lines_per_sec": round(n_lines / dt, 1),
+                          "host": _host_conditions(s0, _cpu_stat())}))
         import ray
 
         ray.shutdown()

@@ -259,10 +259,19 @@ def _expand_rep_pairs_ds(
     exact = _filter_kind(bucket_out, _KIND_EXACT)
     if verified.count() == 0:
         return exact
-    # repartition before joining: upstream groupby/map stages emit
-    # schema-less zero-row blocks that pyarrow's join kernel rejects;
-    # a repartition of the (pair-sized) side unifies every block schema
-    verified = verified.repartition(num_partitions).materialize()
+
+    # Empty-block hazard, and why each join input carries a
+    # repartition: Ray Data BYPASSES the UDF on zero-row blocks, so
+    # schema-less empties from upstream groupby/map_groups partitions
+    # flow through map stages untouched, and the join's hash shuffle
+    # then reconstructs a partition with no key column ("No match for
+    # FieldRef rep"). repartition() coalesces them into schema-ful
+    # blocks. The repartitions are LAZY — they ride the single executor
+    # job that runs both join shuffles at consumption time; the
+    # previous version instead ran repartition().materialize() barriers
+    # (two extra executor launches, ~5 s fixed overhead at validation
+    # scale) for the same normalization. members alone is materialized:
+    # its emptiness decides the plan (and it feeds both joins).
     members = (
         _filter_kind(bucket_out, _KIND_MEMBER)
         .select_columns(["doc_id_a", "doc_id_b"])
@@ -273,16 +282,27 @@ def _expand_rep_pairs_ds(
     if members.count() == 0:
         # no multi-member exact groups anywhere: reps ARE the members
         return verified.union(exact)
+    verified = verified.repartition(num_partitions)
 
     def fold_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id_a" not in t.schema.names:
+            return pa.table({
+                "a_m": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+                value_name: pa.array([], type=pa.float64())})
         a_m = pc.coalesce(t.column("member"), t.column("doc_id_a"))
         return pa.table(
             {"a_m": a_m.cast(pa.int64()),
-             "doc_id_b": t.column("doc_id_b"),
+             "doc_id_b": t.column("doc_id_b").cast(pa.int64()),
              value_name: t.column(value_name)}
         )
 
     def fold_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a_m" not in t.schema.names:
+            return pa.table({
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+                value_name: pa.array([], type=pa.float64())})
         b_m = pc.coalesce(t.column("member"), t.column("doc_id_b"))
         lo = pc.min_element_wise(t.column("a_m"), b_m)
         hi = pc.max_element_wise(t.column("a_m"), b_m)
@@ -296,7 +316,7 @@ def _expand_rep_pairs_ds(
         verified.join(members, "left_outer", num_partitions,
                       on=("doc_id_a",), right_on=("rep",))
         .map_batches(fold_a, batch_format="pyarrow")
-        .repartition(num_partitions)  # re-unify block schemas for join 2
+        .repartition(num_partitions)  # normalize join-1 empties, lazily
     )
     expanded = half.join(
         members, "left_outer", num_partitions,

@@ -591,11 +591,23 @@ class OwnedQueryTier:
             for i in range(n_owners)
         ]
 
+    # below this, pass the query table inline in the task spec instead
+    # of ray.put: a plasma round trip costs ~7 ms on this box while
+    # inline args ride the RPC itself — the wrong choice doubles
+    # single-query serving latency. Large batches still .put once so N
+    # owners share one copy.
+    _INLINE_ARG_BYTES = 32 * 1024
+
+    def _ship(self, queries: pa.Table):
+        if queries.nbytes < self._INLINE_ARG_BYTES:
+            return queries
+        return ray.put(queries)
+
     def query(self, queries: pa.Table, k: int = 5) -> pa.Table:
         """One query batch -> merged (query_id, rank, doc_id, score);
         bit-identical to the monolithic/all-shards path because every
         shard scores with the global (N, avgdl, df)."""
-        qref = ray.put(queries)  # ship the batch once, not per owner
+        qref = self._ship(queries)
         parts = ray.get([o.partials.remote(qref, k) for o in self.owners])
         return _merge_owner_partials(queries, parts, k)
 
@@ -606,7 +618,7 @@ class OwnedQueryTier:
         pending = None
         pending_tbl = None
         for tbl in batches:
-            qref = ray.put(tbl)
+            qref = self._ship(tbl)
             nxt = [o.partials.remote(qref, k) for o in self.owners]
             if pending is not None:
                 yield _merge_owner_partials(pending_tbl, ray.get(pending), k)
