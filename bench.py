@@ -568,6 +568,11 @@ def run_scaling() -> dict:
         "speedup": round(t_hi / t_lo, 2),
         f"sec_{lo}cpu": out[str(lo)]["sec"],
         f"sec_{hi}cpu": out[str(hi)]["sec"],
+        # host CPU split over each selected run: steal% is the
+        # disqualifier — a 16-cpu child under heavy neighbor steal
+        # measures the host, not the engine
+        f"host_{lo}cpu": out[str(lo)].get("host"),
+        f"host_{hi}cpu": out[str(hi)].get("host"),
         "n_docs": out[str(lo)]["n_docs"],
     }
 
@@ -587,6 +592,8 @@ def run_scaling() -> dict:
         "speedup": round(l_hi / l_lo, 2),
         f"sec_{lo}cpu": out[str(lo)]["sec"],
         f"sec_{hi}cpu": out[str(hi)]["sec"],
+        f"host_{lo}cpu": out[str(lo)].get("host"),
+        f"host_{hi}cpu": out[str(hi)].get("host"),
         "n_lines": out[str(lo)]["n_lines"],
     }
 

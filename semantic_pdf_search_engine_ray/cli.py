@@ -81,6 +81,9 @@ def _serve(args) -> int:
 
     import pyarrow.dataset as pads
 
+    from semantic_pdf_search_engine_ray.functions.geometry import (
+        merge_span_rects,
+    )
     from semantic_pdf_search_engine_ray.pipelines.search import (
         highlight_spans,
     )
@@ -200,11 +203,25 @@ def _serve(args) -> int:
                 {"start": s, "end": e, "score": hscore, "snippet": snip}
                 for s, e, hscore, snip in highlight_spans(text, q)
             ]
+            # render-ready rects per page (the reference's PageHighlight
+            # response, webapp.rs:254-384), on the deterministic
+            # monospace grid — same spans, one geometry implementation
+            by_page: dict[int, list[dict]] = {}
+            for sp in spans:
+                for page, x, y, w, h in merge_span_rects(
+                    text, sp["start"], sp["end"]
+                ):
+                    by_page.setdefault(page, []).append(
+                        {"x": x, "y": y, "width": w, "height": h})
             out.append({
                 "rank": rank, "doc_id": doc_id, "score": score,
                 "url": row.get("url"),
                 "text": (spans[0]["snippet"] if spans else text[:200]),
                 "highlights": spans,
+                "page_highlights": [
+                    {"page": p, "rects": by_page[p]}
+                    for p in sorted(by_page)
+                ],
             })
         return out
 

@@ -3963,6 +3963,93 @@ def q_hybrid_topk(sf_dir: str) -> pa.Table:
     )
 
 
+N_RECT_TERMS = 8
+RECT_DOCS_PER_QUERY = 3
+RECT_EXT = 40
+
+from semantic_pdf_search_engine_ray.functions.geometry import (  # noqa: E402
+    CHAR_W, LINE_COLS, LINE_H, PAGE_LINES,
+)
+
+
+def q_highlight_rects(sf_dir: str) -> pa.Table:
+    """Render-ready page-geometry highlights (VERDICT r3 missing #2;
+    the reference's `extract_char_bboxes` -> `PageHighlight` path,
+    `webapp.rs:262-445`): for the first N_RECT_TERMS head terms, the
+    3 lowest-doc_id exact-occurrence docs each yield merged highlight
+    rects on the deterministic monospace grid (first occurrence + a
+    40-char snippet window). Integer geometry — the SQL mirror
+    recomputes every rect exactly (grid cells, whitespace breaks,
+    same-line islands)."""
+    from semantic_pdf_search_engine_ray.pipelines.search import (
+        exact_highlight_rects,
+    )
+
+    import pyarrow.compute as pc
+
+    index_dir = ensure_index(sf_dir)
+    full = derive_query_table(index_dir)
+    mask = pc.less(full.column("query_id"), N_RECT_TERMS)
+    return exact_highlight_rects(
+        documents_path(sf_dir), full.filter(mask),
+        per_query=RECT_DOCS_PER_QUERY, ext=RECT_EXT,
+    )
+
+
+_SQL_HIGHLIGHT_RECTS = f"""
+WITH {_TOKS_CTE},
+rterms AS (
+  SELECT r::BIGINT AS query_id, term FROM head WHERE r < {N_RECT_TERMS}
+),
+hits AS (
+  SELECT t.query_id, d.doc_id,
+         (strpos(d.text, t.term) - 1)::BIGINT AS pos,
+         length(t.term)::BIGINT AS qlen,
+         length(d.text)::BIGINT AS tlen,
+         d.text
+  FROM rterms t JOIN documents d ON strpos(d.text, t.term) > 0
+),
+sel AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY doc_id ASC) AS rn
+    FROM hits
+  ) WHERE rn <= {RECT_DOCS_PER_QUERY}
+),
+chars AS (
+  SELECT query_id, doc_id, i,
+         substr(text, i + 1, 1) AS ch,
+         (i // {LINE_COLS})::BIGINT AS line,
+         (i % {LINE_COLS})::BIGINT AS col
+  FROM (
+    SELECT *, unnest(generate_series(
+        pos, least(pos + qlen + {RECT_EXT}, tlen) - 1)) AS i
+    FROM sel)
+),
+ink AS (
+  SELECT *, i - row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY i) AS grp
+  FROM chars
+  WHERE ch NOT IN (' ', chr(9), chr(13), chr(10))
+),
+islands AS (
+  SELECT query_id, doc_id, line,
+         min(i) AS i0, min(col) AS c0, count(*)::BIGINT AS n
+  FROM ink GROUP BY query_id, doc_id, line, grp
+)
+SELECT query_id, doc_id,
+       (row_number() OVER (PARTITION BY query_id, doc_id
+                           ORDER BY i0) - 1)::BIGINT AS rect_idx,
+       (line // {PAGE_LINES})::BIGINT AS page,
+       (c0 * {CHAR_W})::BIGINT AS x,
+       ((line % {PAGE_LINES}) * {LINE_H})::BIGINT AS y,
+       (n * {CHAR_W})::BIGINT AS width,
+       {LINE_H}::BIGINT AS height
+FROM islands
+ORDER BY query_id, doc_id, rect_idx
+"""
+
+
 _SQL_HYBRID_TOPK = f"""
 WITH {_TOKS_CTE},
 qterms AS (
@@ -4076,6 +4163,7 @@ QUERIES = {
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
     "hybrid_topk": q_hybrid_topk,
+    "highlight_rects": q_highlight_rects,
     "phrase_topk": q_phrase_topk,
     "proximity_topk": q_proximity_topk,
     "bm25_chunks_topk": q_bm25_chunks,
@@ -4284,6 +4372,7 @@ ORACLE_SQL = {
     "lang_confusion": _SQL_LANG_CONFUSION,
     "bm25_static_rank": _SQL_BM25_STATIC_RANK,
     "hybrid_topk": _SQL_HYBRID_TOPK,
+    "highlight_rects": _SQL_HIGHLIGHT_RECTS,
     "hits_scores": _SQL_HITS,
     "pagerank_seeded": _SQL_PAGERANK_SEEDED,
     "triangle_count": _SQL_TRIANGLES,

@@ -262,3 +262,110 @@ def facet_counts(
         batch_size=cfg.query_batch_size,
         concurrency=cfg.query_concurrency,
     )
+
+
+def exact_highlight_rects(
+    docs_path: str,
+    queries: pa.Table,
+    per_query: int = 3,
+    ext: int = 40,
+) -> pa.Table:
+    """Render-ready highlight RECTS for exact query anchors — the
+    web-text analog of the reference's search-with-bboxes endpoint
+    (`webapp.rs:262-384`: per result, locate the match's char indices
+    on the page, extract per-char bboxes, merge into line rects,
+    group per page).
+
+    Per query term: the ``per_query`` lowest-doc_id documents
+    containing an exact (case-sensitive) occurrence; the highlight
+    span is the first occurrence extended by ``ext`` trailing context
+    chars (the snippet window), laid out on the deterministic
+    monospace grid and merged by the reference's rect-merge rules
+    (`functions/geometry.py`).
+
+    Scale shape: pass 1 is one streaming vectorized substring scan
+    over the corpus with per-batch top-``per_query`` pruning, so the
+    collected candidate table is bounded by blocks x |queries| x
+    per_query; pass 2 is a doc_id-pushdown read of the <= |queries| x
+    per_query selected docs (the `enrich_results` J3 pattern) — rect
+    geometry is computed only on those.
+
+    Output: (query_id, doc_id, rect_idx, page, x, y, width, height),
+    all int64.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from semantic_pdf_search_engine_ray.functions import geometry as geo
+
+    qids = queries.column("query_id").to_pylist()
+    terms = queries.column("query").to_pylist()
+
+    def find_candidates(t: pa.Table) -> pa.Table:
+        out_q: list[int] = []
+        out_d: list[int] = []
+        ids = t.column("doc_id")
+        for qid, term in zip(qids, terms):
+            m = pc.match_substring(t.column("text"), term)
+            hit = ids.filter(m).to_numpy(zero_copy_only=False)
+            if len(hit) > per_query:
+                # smallest per_query doc_ids survive this batch
+                hit = np.partition(hit, per_query - 1)[:per_query]
+            out_q.extend([qid] * len(hit))
+            out_d.extend(int(x) for x in hit)
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+        })
+
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    cand = docs.map_batches(
+        find_candidates, batch_format="pyarrow"
+    ).to_pandas()  # bounded: <= blocks x |queries| x per_query rows
+
+    empty = pa.table({c: pa.array([], type=pa.int64()) for c in (
+        "query_id", "doc_id", "rect_idx", "page", "x", "y",
+        "width", "height")})
+    if not len(cand):
+        return empty
+    sel = (cand.sort_values(["query_id", "doc_id"])
+               .groupby("query_id", sort=True)
+               .head(per_query))
+    by_doc: dict[int, list[int]] = {}
+    for q, d in zip(sel["query_id"], sel["doc_id"]):
+        by_doc.setdefault(int(d), []).append(int(q))
+    term_of = dict(zip(qids, terms))
+
+    dtab = pads.dataset(docs_path).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(sorted(by_doc)),
+    )
+    cols: dict[str, list[int]] = {c: [] for c in (
+        "query_id", "doc_id", "rect_idx", "page", "x", "y",
+        "width", "height")}
+    for doc_id, text in zip(dtab.column("doc_id").to_pylist(),
+                            dtab.column("text").to_pylist()):
+        for q in sorted(by_doc[doc_id]):
+            term = term_of[q]
+            pos = text.find(term)
+            if pos < 0:
+                continue
+            rects = geo.merge_span_rects(
+                text, pos, pos + len(term) + ext)
+            for ridx, (page, x, y, w, h) in enumerate(rects):
+                cols["query_id"].append(q)
+                cols["doc_id"].append(doc_id)
+                cols["rect_idx"].append(ridx)
+                cols["page"].append(page)
+                cols["x"].append(x)
+                cols["y"].append(y)
+                cols["width"].append(w)
+                cols["height"].append(h)
+    if not cols["query_id"]:
+        return empty
+    out = pa.table({c: pa.array(v, type=pa.int64())
+                    for c, v in cols.items()})
+    return out.sort_by([("query_id", "ascending"),
+                        ("doc_id", "ascending"),
+                        ("rect_idx", "ascending")])

@@ -158,10 +158,10 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
         assert {f["facet"]: f["n_docs"] for f in facets} == want
 
         marker = "xanthozephyr quasar lattice"
+        marker_doc_text = (f"a fresh document about the {marker} "
+                           "phenomenon observed in distributed engines")
         up = _http_json(f"{base}/upload", data={
-            "docs": [{"url": "upload://t1",
-                      "text": f"a fresh document about the {marker} "
-                              "phenomenon observed in distributed engines"}]
+            "docs": [{"url": "upload://t1", "text": marker_doc_text}]
         })
         assert up["doc_ids"], up
         for _ in range(300):  # async index: Ray startup + shard build
@@ -179,6 +179,22 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
         assert marker.split()[0] in res[0]["text"]
         assert res[0]["highlights"] and all(
             h["end"] > h["start"] for h in res[0]["highlights"])
+
+        # render-ready page rects derive from the SAME spans via the
+        # shared grid geometry (reference PageHighlight shape)
+        from semantic_pdf_search_engine_ray.functions.geometry import (
+            merge_span_rects,
+        )
+        ph = res[0]["page_highlights"]
+        assert ph, "expected page_highlights alongside spans"
+        got = [(pg["page"], r["x"], r["y"], r["width"], r["height"])
+               for pg in ph for r in pg["rects"]]
+        # recompute from the served span offsets against the uploaded text
+        want = []
+        for h in res[0]["highlights"]:
+            want.extend(merge_span_rects(
+                marker_doc_text, h["start"], h["end"]))
+        assert sorted(got) == sorted(want)
 
         # wildcard search routes through the sharded prefix tier
         wild = _http_json(f"{base}/api/search?q=xanthozeph*&k=3")

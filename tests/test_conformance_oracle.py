@@ -115,6 +115,8 @@ SUBSET = [
     "weekday_profile",
     "source_dup_rate",
     "props_field_stats",
+    "hybrid_topk",
+    "highlight_rects",
 ]
 
 
