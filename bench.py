@@ -196,6 +196,34 @@ def _host_conditions(s0: list[int], s1: list[int]) -> dict:
     }
 
 
+# Neighbor-steal avoidance: a timed region started inside a steal burst
+# measures the host, not the engine (see _host_conditions). Before each
+# timed key the sweep waits — within a GLOBAL budget, so a permanently
+# noisy host can't stall the sweep — for steal to drop under the
+# threshold. Keys are never re-run (many conformance entries checkpoint
+# to /tmp, so a retry would time cache hits); a key that still ran
+# under steal is DISCLOSED in extras["steal_contaminated_keys"].
+QUIET_STEAL_PCT = float(os.environ.get("BENCH_QUIET_STEAL_PCT", "8"))
+_QUIET_BUDGET = [float(os.environ.get("BENCH_QUIET_WAIT_BUDGET_S", "600"))]
+
+
+def _steal_now(window: float = 1.0) -> float:
+    s0 = _cpu_stat()
+    time.sleep(window)
+    return _host_conditions(s0, _cpu_stat())["steal_pct"]
+
+
+def _wait_for_quiet() -> None:
+    while _QUIET_BUDGET[0] > 0:
+        s = _steal_now(1.0)
+        _QUIET_BUDGET[0] -= 1.0
+        if s <= QUIET_STEAL_PCT:
+            return
+        pause = min(10.0, max(_QUIET_BUDGET[0], 0))
+        time.sleep(pause)
+        _QUIET_BUDGET[0] -= pause
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow as pa
@@ -210,10 +238,17 @@ def run_bench() -> dict:
     extras: dict[str, float] = {}
     pages_idx = f"{SCRATCH}/spse_bench_index_pages"
 
+    steal_keys: dict[str, float] = {}
+
     # -- headline: html pages -> committed index ---------------------------
     _bench_pages_fixture()  # regenerates in a subprocess if stale
     _warm_pool()
+    _wait_for_quiet()
+    s0 = _cpu_stat()
     dt, n_docs = timed_build_pages(pages_idx)
+    build_steal = _host_conditions(s0, _cpu_stat())["steal_pct"]
+    if build_steal > QUIET_STEAL_PCT:
+        steal_keys["build_pages_index"] = build_steal
     stages["build_pages_index"] = round(dt, 3)
     extras["build_docs_per_sec"] = round(n_docs / dt, 1)
     extras["build_n_docs"] = n_docs
@@ -254,6 +289,8 @@ def run_bench() -> dict:
         for r in range(reps)
     ])
     n_blocks = max(NUM_CPUS, big.num_rows // qcfg.query_batch_size)
+    _wait_for_quiet()
+    qs0 = _cpu_stat()
     t0 = time.monotonic()
     queries_ds = rd.from_arrow(big).repartition(n_blocks)
     res = run_queries(pages_idx, queries_ds, qcfg, k=5)
@@ -262,6 +299,9 @@ def run_bench() -> dict:
     stages["bm25_batch_queries"] = round(dt, 3)
     extras["query_throughput_qps"] = round(big.num_rows / dt, 1)
     extras["query_result_rows"] = int(n_rows)
+    q_steal = _host_conditions(qs0, _cpu_stat())["steal_pct"]
+    if q_steal > QUIET_STEAL_PCT:
+        steal_keys["query_throughput"] = q_steal
 
     # warm per-query latency distribution (single actor, serial).
     # Settle first: the batch stage's actor pool is still tearing down
@@ -428,11 +468,16 @@ def run_bench() -> dict:
             _restart_ray()
         n_swept += 1
         fn = cf.QUERIES[name]
+        _wait_for_quiet()
+        s0 = _cpu_stat()
         t0 = time.monotonic()
         out = fn(SF_DIR)
         if isinstance(out, rd.Dataset):
             out.count()
         stages[name] = round(time.monotonic() - t0, 3)
+        key_steal = _host_conditions(s0, _cpu_stat())["steal_pct"]
+        if key_steal > QUIET_STEAL_PCT:
+            steal_keys[name] = key_steal
 
     total = round(sum(stages.values()), 3)
     # Machine-readable scaling evidence (north rule: efficiency >=0.8 at
@@ -450,6 +495,12 @@ def run_bench() -> dict:
         for job, rec in sc.get("jobs", {}).items():
             extras[f"scaling_efficiency_{job}"] = rec.get("efficiency")
     extras["host_conditions"] = _host_conditions(cpu0, _cpu_stat())
+    if steal_keys:
+        # keys whose timed window still overlapped a neighbor-steal
+        # burst after the quiet wait — their wall times measure the
+        # host; compare these against BASELINE.md with that in mind
+        extras["steal_contaminated_keys"] = steal_keys
+    extras["quiet_wait_budget_left_s"] = round(_QUIET_BUDGET[0], 1)
     return {
         "metric": "e2e headline pipelines (index build + BM25 queries + ops)",
         "value": total,
@@ -555,9 +606,13 @@ def run_scaling() -> dict:
     jobs: dict[str, dict] = {}
 
     # job 1: the headline index build (partitioned spill + encode)
+    def quiet_child(mode: str, cpus: int) -> dict:
+        _wait_for_quiet()  # don't LAUNCH a child into a steal burst
+        return _scaling_child(mode, cpus)
+
     out: dict[str, dict] = {}
     for cpus in (lo, hi):
-        runs = [_scaling_child("--child-build", cpus) for _ in range(reps)]
+        runs = [quiet_child("--child-build", cpus) for _ in range(reps)]
         out[str(cpus)] = min(runs, key=lambda r: r["sec"])
     t_lo = out[str(lo)]["docs_per_sec"]
     t_hi = out[str(hi)]["docs_per_sec"]
@@ -580,7 +635,7 @@ def run_scaling() -> dict:
     # structurally different shuffle chain)
     out = {}
     for cpus in (lo, hi):
-        runs = [_scaling_child("--child-linededup", cpus)
+        runs = [quiet_child("--child-linededup", cpus)
                 for _ in range(reps)]
         out[str(cpus)] = min(runs, key=lambda r: r["sec"])
     l_lo = out[str(lo)]["lines_per_sec"]
