@@ -225,6 +225,11 @@ def hybrid_sparse_rrf(
                 continue
             b = md5_hash64(term) % dim
             acc[b] = acc.get(b, 0.0) + np.log(n_docs / dfv)
+        # mirror the oracle's `WHERE w != 0` on the bucket sums: a term
+        # with df == n_docs has ln(N/df) == 0 and must not emit a
+        # zero-weight bucket row (it would let cos == 0 docs into the
+        # vector leg's rank slots the oracle never assigns)
+        acc = {b: v for b, v in acc.items() if v != 0.0}
         norm = float(np.sqrt(sum(v * v for v in acc.values())))
         if norm <= 0.0:
             continue

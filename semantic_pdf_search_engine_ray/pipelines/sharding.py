@@ -412,6 +412,10 @@ class ShardedReader:
         subsequent ``top_k_serving`` composes all three."""
         import pyarrow.dataset as pads
 
+        if filter_col is not None and filter_values is None:
+            raise ValueError(
+                "configure_serving: filter_col set but filter_values is "
+                "None — pass the allowed value set explicitly")
         for r in self.readers:
             size = len(r.doc_len)
             allowed = None
@@ -427,6 +431,10 @@ class ShardedReader:
                 allowed[ids[keep]] = True
             prior = None
             if rank_dir is not None:
+                if rank_weight < 0:
+                    raise ValueError(
+                        f"configure_serving: rank_weight must be >= 0, "
+                        f"got {rank_weight}")
                 ids_all = pq.read_table(
                     os.path.join(r.index_dir, "docs"),
                     columns=["doc_id"]).column("doc_id").to_numpy()
@@ -437,17 +445,36 @@ class ShardedReader:
                     & (pads.field("doc_id") <= hi))
                 prior = np.zeros(size, dtype=np.float64)
                 rid = t.column("doc_id").to_numpy()
-                prior[rid] = rank_weight * np.log(
-                    t.column("rank_micro").to_numpy().astype(np.float64))
+                rm = t.column("rank_micro").to_numpy().astype(np.float64)
+                # rank_micro <= 0 would flow through np.log as -inf/nan
+                # and silently corrupt every blended score downstream —
+                # a rank store with such rows is malformed, refuse it
+                if rm.size and float(rm.min()) <= 0.0:
+                    raise ValueError(
+                        "configure_serving: rank store contains "
+                        "rank_micro <= 0 (log-prior undefined); fix the "
+                        "rank store or drop those rows")
+                prior[rid] = rank_weight * np.log(rm)
             r._serving_allowed = allowed
             r._serving_prior = prior
 
     def top_k_serving(self, query: str, k: int) -> list[tuple[int, float]]:
         """The composed production query: facet-filtered, tombstone-
-        masked, static-rank-blended top-k (configure_serving first)."""
+        masked, static-rank-blended top-k (configure_serving first).
+        Wildcard (``prefix*``) queries route through the prefix scorer
+        with the SAME mask + prior composition — they must not be
+        scored as literal tokens just because serving is configured."""
+        from semantic_pdf_search_engine_ray.functions.tokenize import (
+            as_prefix_query,
+        )
+
+        pfx = as_prefix_query(query)
+
         def per_shard(r):
             prior = getattr(r, "_serving_prior", None)
             allowed = getattr(r, "_serving_allowed", None)
+            if pfx is not None:
+                return r.top_k_prefix(pfx, k, allowed=allowed, prior=prior)
             if prior is not None:
                 return r.top_k_blended(query, k, prior, allowed=allowed)
             if allowed is not None:

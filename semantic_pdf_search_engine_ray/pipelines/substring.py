@@ -290,6 +290,19 @@ def _literal_runs_candidates(reader: "TrigramReader", parsed):
                 union = b if union is None else np.union1d(union, b)
             add_and(union)
         elif op is c.SUBPATTERN:
+            # av = (group, add_flags, del_flags, subpattern). Scoped flag
+            # groups like (?i:abc) set add_flags here WITHOUT touching
+            # parsed.state.flags — the top-level guard in
+            # regex_candidates never sees them, so refuse here too:
+            # indexing 'abc' case-sensitively while re.search verifies
+            # case-insensitively silently drops matching docs.
+            import re as _re
+            bad = av[1] & (_re.IGNORECASE | _re.LOCALE)
+            if bad:
+                raise ValueError(
+                    f"regex uses unsupported scoped inline flags "
+                    f"({_re.RegexFlag(bad)!r}); the trigram planner "
+                    "indexes literal runs case-sensitively")
             close_run()
             add_and(_literal_runs_candidates(reader, av[3]))
         elif op is c.MAX_REPEAT and av[0] >= 1:

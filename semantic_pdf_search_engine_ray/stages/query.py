@@ -401,12 +401,16 @@ class IndexReader:
     def top_k_prefix(
         self, prefix: str, k: int, max_expand: int = 16,
         allowed: np.ndarray | None = None,
+        prior: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Wildcard (``prefix*``) BM25: disjunctive dense scoring over
         the expanded term set — a query feature the reference's exact
         term lookup cannot express (engine addition). ``allowed`` is the
         same optional doc-subset mask as ``top_k_exhaustive`` — docs
-        outside it never rank, so wildcard and doc-filters compose."""
+        outside it never rank, so wildcard and doc-filters compose.
+        ``prior`` is the same static-rank blend as ``top_k_blended``
+        (added only to docs matching at least one expanded term), so
+        wildcard queries compose with the full serving configuration."""
         allowed = self._live(allowed)
         scores = np.zeros(len(self.doc_len), dtype=np.float64)
         touched = False
@@ -421,6 +425,9 @@ class IndexReader:
             return []
         if allowed is not None:
             scores[~allowed] = 0.0
+        if prior is not None:
+            matched = scores > 0.0
+            scores[matched] += prior[matched]
         return self._topk_from_scores(scores, k)
 
     def top_k_conjunctive(self, query: str, k: int) -> list[tuple[int, float]]:
