@@ -666,27 +666,40 @@ def collocations_pmi(
 
     import ray
 
-    scored_parts = [
-        p for p in ray.get(
-            j2.map_batches(pmi_batch, batch_format="pyarrow").to_arrow_refs()
-        )
-        if p.num_rows
-    ]
     raw_schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
                             ("pmi_raw", pa.float64())])
     out_schema = pa.schema([("bigram", pa.string()), ("c_xy", pa.int64()),
                             ("pmi", pa.float64())])
+    _SORT = [("pmi_raw", "descending"), ("bigram", "ascending")]
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        # per-block partial top-k: the frequent-bigram table is
+        # vocabulary²-bounded, not k-bounded, so the driver must only
+        # ever see k rows per block. np.partition prunes to the pmi
+        # threshold first (>= keeps every boundary tie, so the true
+        # top-k under the full (pmi DESC, bigram ASC) order survives),
+        # then one vectorized Arrow multi-key sort finishes the block.
+        if t.num_rows == 0:
+            return raw_schema.empty_table()
+        t = t.select(raw_schema.names).cast(raw_schema)
+        n = t.num_rows
+        if n > 4 * k:
+            pmi = t.column("pmi_raw").to_numpy()
+            thr = np.partition(pmi, n - k)[n - k]
+            t = t.filter(pc.greater_equal(t.column("pmi_raw"), thr))
+        idx = pc.sort_indices(t, sort_keys=_SORT)
+        return t.take(idx[:k])
+
+    partial = j2.map_batches(pmi_batch, batch_format="pyarrow").map_batches(
+        topk_block, batch_format="pyarrow")
+    scored_parts = [p for p in ray.get(partial.to_arrow_refs()) if p.num_rows]
     if not scored_parts:
         return out_schema.empty_table()
+    # driver merge is k×blocks rows, never the scored table itself
     scored = pa.concat_tables(
         [p.select(raw_schema.names).cast(raw_schema) for p in scored_parts]
     )
-    order = sorted(
-        range(scored.num_rows),
-        key=lambda i: (-scored.column("pmi_raw")[i].as_py(),
-                       scored.column("bigram")[i].as_py()),
-    )[:k]
-    top = scored.take(pa.array(order))
+    top = scored.take(pc.sort_indices(scored, sort_keys=_SORT)[:k])
     return pa.table(
         {"bigram": top.column("bigram"),
          "c_xy": top.column("c_xy"),
