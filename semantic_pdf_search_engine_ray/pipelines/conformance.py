@@ -2260,6 +2260,30 @@ JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 """
 
+# thresholded (prefix-filter scale path) mirror: identical expression,
+# plus the exact-value WHERE the Ray side applies before rounding
+_SQL_VOCAB_OVERLAP_T = f"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+sizes AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_common
+  FROM st a JOIN st b ON b.term = a.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+         AS jaccard_r
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
+"""
+
 _SQL_REGEX_SEARCH = """
 WITH pats(pattern_id, pat) AS (VALUES
   (0, 'table (scan|sort)'),
@@ -3457,6 +3481,14 @@ def q_source_vocab_overlap(sf_dir: str) -> rd.Dataset:
     return ts.source_vocab_overlap(docs)
 
 
+def q_vocab_overlap_thresholded(sf_dir: str) -> rd.Dataset:
+    """Prefix-filtered (PPJoin-style) source vocabulary Jaccard at
+    J >= 0.5 — the bounded scale path; exact, so SQL mirrors it."""
+    docs = rd.read_parquet(documents_path(sf_dir),
+                           columns=["source", "text"])
+    return ts.source_vocab_overlap_thresholded(docs, threshold=0.5)
+
+
 def q_ngram_novelty(sf_dir: str) -> rd.Dataset:
     """Per-doc fraction of distinct 3-grams unique to that doc."""
     return ts.ngram_novelty(read_docs(sf_dir), n=3)
@@ -4240,6 +4272,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "substring_counts": q_substring_counts,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "vocab_overlap_thresholded": q_vocab_overlap_thresholded,
     "ngram_novelty": q_ngram_novelty,
     "trimmed_mean": q_trimmed_mean,
     "anomalous_days": q_anomalous_days,
@@ -4383,6 +4416,7 @@ ORACLE_SQL = {
     "event_transitions": _SQL_TRANSITIONS,
     "substring_counts": _SQL_SUBSTRING_COUNTS,
     "source_vocab_overlap": _SQL_VOCAB_OVERLAP,
+    "vocab_overlap_thresholded": _SQL_VOCAB_OVERLAP_T,
     "ngram_novelty": _SQL_NGRAM_NOVELTY,
     "trimmed_mean": _SQL_TRIMMED_MEAN,
     "anomalous_days": _SQL_ANOMALOUS_DAYS,

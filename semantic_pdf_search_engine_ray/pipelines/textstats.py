@@ -1130,6 +1130,40 @@ def lang_confusion(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _source_term_rows(batch: pa.Table) -> pa.Table:
+    """(source, text) batch -> batch-distinct (source, term) rows."""
+    out_s, out_t = [], []
+    seen = set()
+    for src, text in zip(batch.column("source").to_pylist(),
+                         batch.column("text").to_pylist()):
+        for tok in set(tokenize(text)):
+            if (src, tok) not in seen:
+                seen.add((src, tok))
+                out_s.append(src)
+                out_t.append(tok)
+    return pa.table({
+        "source": pa.array(out_s, type=pa.string()),
+        "term": pa.array(out_t, type=pa.string()),
+    })
+
+
+def _spill_parquet(ds: rd.Dataset, prefix: str) -> rd.Dataset:
+    """Execute ``ds`` once into node-local parquet scratch and hand back
+    a lazy re-read. Unlike ``.materialize()`` the result does NOT occupy
+    the object store between consumers — a corpus-sized intermediate
+    that two downstream legs both need costs disk/tmpfs, not plasma, and
+    each leg streams it back with normal backpressure. (On a multi-node
+    cluster point $SPSE_SCRATCH at shared storage; everything written
+    here is derivable scratch.)"""
+    import tempfile
+
+    from semantic_pdf_search_engine_ray.config import scratch_root
+
+    out = tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+    ds.write_parquet(out)
+    return rd.read_parquet(out)
+
+
 def source_vocab_overlap(docs: rd.Dataset) -> rd.Dataset:
     """Pairwise vocabulary Jaccard between sources — the corpus-level
     similarity matrix used to spot near-duplicate crawls / mirrored
@@ -1141,26 +1175,17 @@ def source_vocab_overlap(docs: rd.Dataset) -> rd.Dataset:
     applied post-join; |sources|^2 intersection counts and |sources|
     vocab sizes are tiny and combine on the driver. Jaccard =
     inter / (|A| + |B| - inter): exact integers + one float division
-    (identical expression in SQL)."""
+    (identical expression in SQL).
+
+    ALL-PAIRS form: a term present in s sources emits s^2 join rows, so
+    this is the conformance-scale oracle shape. At web scale (thousands
+    of sources all sharing head terms) use
+    :func:`source_vocab_overlap_thresholded`, whose prefix filter bounds
+    the join while staying exact for every pair above the threshold."""
     from ray.data.aggregate import Count as AggCount
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        out_s, out_t = [], []
-        seen = set()
-        for src, text in zip(batch.column("source").to_pylist(),
-                             batch.column("text").to_pylist()):
-            for tok in set(tokenize(text)):
-                if (src, tok) not in seen:
-                    seen.add((src, tok))
-                    out_s.append(src)
-                    out_t.append(tok)
-        return pa.table({
-            "source": pa.array(out_s, type=pa.string()),
-            "term": pa.array(out_t, type=pa.string()),
-        })
-
     st = (
-        docs.map_batches(pairs, batch_format="pyarrow")
+        docs.map_batches(_source_term_rows, batch_format="pyarrow")
         .groupby(["source", "term"])
         .aggregate(AggCount(alias_name="_n"))
         .select_columns(["source", "term"])
@@ -1203,6 +1228,164 @@ def source_vocab_overlap(docs: rd.Dataset) -> rd.Dataset:
     return inter.map_batches(finish, batch_format="pyarrow")
 
 
+def source_vocab_overlap_thresholded(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    stats: dict | None = None,
+) -> rd.Dataset:
+    """Pairwise source vocabulary Jaccard RESTRICTED to pairs with
+    J >= threshold — the scale path for :func:`source_vocab_overlap`.
+
+    The all-pairs form self-joins the distinct (source, term) table on
+    term, so a head term present in s sources emits s^2 rows: total work
+    is sum_t df(t)^2, which at web scale (every source contains 'the')
+    degenerates to |vocab| x |sources|^2. This variant bounds candidate
+    generation with PREFIX FILTERING (SSJoin, Chaudhuri et al. ICDE'06;
+    PPJoin, Xiao et al. WWW'08) — EXACT, unlike a MinHash screen: no
+    missed-pair probability, so the SQL oracle (same expression + WHERE)
+    mirrors it value-for-value.
+
+      Order the vocabulary globally by (df ASC, term ASC) — rare first.
+      A source with n terms keeps only its first  n - ceil(t*n) + 1
+      terms under that order as its PREFIX. If J(A,B) >= t, B must hit
+      A's prefix: missing all of it leaves |A ∩ B| <= ceil(t|A|) - 1
+      < t|A| <= t|A ∪ B|, a contradiction. So every qualifying pair
+      shares a prefix term of BOTH sides, and prefixes are rare-first,
+      so per-term join fan-out is small by construction.
+
+    Stages (driver holds only the |sources|-sized size dict):
+      distinct (source,term)  [spilled to scratch parquet — read by the
+      df leg, the prefix leg and the verify leg without pinning the
+      object store]
+      -> per-term df -> join back -> per-source prefix
+         (groupby(source).map_groups: sort by (df, term), take p)
+      -> prefix self-join on term = candidate pairs (+ size filter:
+         J >= t forces t*|B| <= |A| <= |B|/t)
+      -> the candidate SOURCE set restricts the exact verification
+         self-join; per-pair groupby = exact n_common
+      -> J >= t filter (exact n/(|A|+|B|-n), identical in SQL).
+    Recall is exact (every J>=t pair reaches verification); precision is
+    restored by the final filter. Candidate volume scales with similar
+    pairs, not sources^2 — evidenced by tools/vocab_overlap_soak.py."""
+    import math
+
+    from ray.data.aggregate import Count as AggCount
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1] for the prefix "
+                         "filter; use source_vocab_overlap for all pairs")
+
+    st = _spill_parquet(
+        docs.map_batches(_source_term_rows, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(AggCount(alias_name="_n"))
+        .select_columns(["source", "term"]),
+        "spse_vocab_st_",
+    )
+    sizes = {
+        r["source"]: int(r["n"]) for r in
+        st.groupby("source").aggregate(
+            AggCount(alias_name="n")).take_all()
+    }
+
+    dfagg = st.groupby("term").aggregate(AggCount(alias_name="df"))
+
+    def prefix_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        p = n - math.ceil(threshold * n) + 1
+        idx = pc.sort_indices(
+            g, sort_keys=[("df", "ascending"), ("term", "ascending")])
+        return g.take(idx[:p]).select(["source", "term"])
+
+    pref = (
+        st.join(dfagg, "inner", num_partitions, on=("term",),
+                right_on=("term",), right_suffix="_r")
+        .groupby("source")
+        .map_groups(prefix_group, batch_format="pyarrow")
+    )
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("source"), t.column("source_r")))
+        if t.num_rows == 0:
+            return t.select(["source", "source_r"])
+        # size filter: J >= t needs min(|A|,|B|) >= t * max(|A|,|B|)
+        na = np.array([sizes[s] for s in
+                       t.column("source").to_pylist()], dtype=np.float64)
+        nb = np.array([sizes[s] for s in
+                       t.column("source_r").to_pylist()], dtype=np.float64)
+        ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        return t.filter(pa.array(ok)).select(["source", "source_r"])
+
+    cand = (
+        pref.join(pref, "inner", num_partitions, on=("term",),
+                  right_on=("term",), right_suffix="_r")
+        .map_batches(cand_filter, batch_format="pyarrow")
+        .groupby(["source", "source_r"])
+        .aggregate(AggCount(alias_name="_nb"))
+    )
+
+    # candidate SOURCE set (<= |sources|, driver already holds `sizes`)
+    cand_sources: set[str] = set()
+    n_cand_pairs = 0
+    import ray as _ray
+
+    for part in _ray.get(cand.select_columns(["source", "source_r"])
+                         .to_arrow_refs()):
+        if part.num_rows:
+            n_cand_pairs += part.num_rows
+            cand_sources.update(part.column("source").to_pylist())
+            cand_sources.update(part.column("source_r").to_pylist())
+    if stats is not None:
+        stats["n_candidate_pairs"] = n_cand_pairs
+        stats["n_candidate_sources"] = len(cand_sources)
+        stats["n_sources"] = len(sizes)
+    if not cand_sources:
+        return rd.from_arrow(pa.table({
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "n_common": pa.array([], type=pa.int64()),
+            "jaccard_r": pa.array([], type=pa.float64()),
+        }))
+
+    def restrict(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            t.column("source"),
+            value_set=pa.array(sorted(cand_sources), type=pa.string())))
+
+    stc = st.map_batches(restrict, batch_format="pyarrow")
+    inter = (
+        stc.join(stc, "inner", num_partitions, on=("term",),
+                 right_on=("term",), right_suffix="_r")
+        .map_batches(
+            lambda t: t.filter(
+                pc.less(t.column("source"), t.column("source_r"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "source_r"])
+        .aggregate(AggCount(alias_name="n_common"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t.column("source").to_pylist()
+        b = t.column("source_r").to_pylist()
+        n = t.column("n_common").to_numpy().astype(np.int64)
+        jac = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            jac[i] = n[i] * 1.0 / (sizes[x] + sizes[y] - int(n[i]))
+        keep = jac >= threshold  # exact value, identical WHERE in SQL
+        jac_r = np.copysign(np.floor(np.abs(jac) * 1e6 + 0.5), jac) / 1e6
+        out = pa.table({
+            "source_a": pa.array(a, type=pa.string()),
+            "source_b": pa.array(b, type=pa.string()),
+            "n_common": pa.array(n),
+            "jaccard_r": pa.array(jac_r, type=pa.float64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 def ngram_novelty(docs: rd.Dataset, n: int = 3) -> rd.Dataset:
     """Per-doc novelty: the fraction of its DISTINCT word n-grams that
     appear in no other document — high novelty separates original
@@ -1233,11 +1416,16 @@ def ngram_novelty(docs: rd.Dataset, n: int = 3) -> rd.Dataset:
             "g": pa.array(out_g, type=pa.string()),
         })
 
-    rows = docs.map_batches(shingle_rows,
-                            batch_format="pyarrow").materialize()
+    # the corpus-sized shingle table is consumed TWICE (df leg + join
+    # left side): spill it to scratch parquet instead of materialize()
+    # so it never pins the object store; each leg streams it back.
+    rows = _spill_parquet(
+        docs.map_batches(shingle_rows, batch_format="pyarrow"),
+        "spse_novelty_rows_",
+    )
     df = rows.groupby("g").aggregate(AggCount(alias_name="df"))
     joined = rows.join(
-        df.materialize(), "inner", 8, on=("g",), right_on=("g",),
+        df, "inner", 8, on=("g",), right_on=("g",),
         right_suffix="_r",
     )
 

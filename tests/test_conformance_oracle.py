@@ -103,6 +103,7 @@ SUBSET = [
     "event_transitions",
     "substring_counts",
     "source_vocab_overlap",
+    "vocab_overlap_thresholded",
     "ngram_novelty",
     "trimmed_mean",
     "anomalous_days",
