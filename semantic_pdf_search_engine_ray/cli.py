@@ -351,6 +351,22 @@ def _serve(args) -> int:
                     self._json([])
                     return
                 self._json(facet_sidebar(q, col))
+            elif url.path == "/api/doc":
+                # the stored-document viewer endpoint (repl.rs:285-290:
+                # the reference serves the PDF a hit points at; here the
+                # doc-store row — url, full text, payload length)
+                try:
+                    doc = int((qs.get("id") or [""])[0])
+                except ValueError:
+                    self._json({"error": "id must be an integer"}, 400)
+                    return
+                row = fetch_docs([doc]).get(doc)
+                if row is None:
+                    self._json({"error": f"unknown doc_id {doc}"}, 404)
+                    return
+                text = row.get("text", "") or ""
+                self._json({"doc_id": doc, "url": row.get("url"),
+                            "text": text, "n_chars": len(text)})
             elif url.path == "/api/more":
                 try:
                     doc = int((qs.get("doc") or [""])[0])

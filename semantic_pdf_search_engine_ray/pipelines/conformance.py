@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -75,6 +76,8 @@ CHUNK_UID_STRIDE = 1000
 EMB_DUP_THRESHOLD = 0.4
 ANN_K = 5
 ANN_QUERIES = 10
+ANN_IVF_CELLS = 8
+ANN_IVF_NPROBE = 2
 SIMHASH_MAX_HAMMING = 3
 UNIGRAM_MIN_COUNT = 2
 UNIGRAM_OOV_CF = 1
@@ -704,6 +707,37 @@ def q_chunks(sf_dir: str) -> rd.Dataset:
     return read_docs(sf_dir).map_batches(chunk_batch, batch_format="pyarrow")
 
 
+def q_chunks_reconstruct(sf_dir: str) -> rd.Dataset:
+    """Chunker COVERAGE value oracle (r5): the splitter partitions the
+    doc into trimmed spans, so the concatenated chunks minus ASCII
+    whitespace must reproduce the document minus ASCII whitespace,
+    byte-for-byte — md5-checked per doc against SQL. This pins the
+    un-SQL-expressible boundary algorithm's no-loss/no-dup property on
+    the driver's own data (chunk boundaries themselves are pinned by the
+    ported splitter pytests)."""
+    import hashlib as _hl
+
+    from semantic_pdf_search_engine_ray.functions.splitter import (
+        semantic_chunks,
+    )
+
+    _ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def recon(batch: pa.Table) -> pa.Table:
+        ids, md5s = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            joined = _ws.sub("", "".join(semantic_chunks(text, 500)))
+            ids.append(doc_id)
+            md5s.append(_hl.md5(joined.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "recon_md5": pa.array(md5s, type=pa.string()),
+        })
+
+    return read_docs(sf_dir).map_batches(recon, batch_format="pyarrow")
+
+
 PROXIMITY_SLOP = 2
 
 
@@ -886,11 +920,14 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 
 
 def q_ann_ivf_pruned(sf_dir: str) -> pa.Table:
-    """IVF with nprobe=2 of 8 cells — the approximate scale config; the
-    read is pruned to probed partition dirs (rows-only: approximation is
-    not SQL-expressible)."""
+    """IVF with nprobe=2 of 8 cells — the approximate scale config, run
+    with PINNED centroids (the 8 lowest-id corpus vectors) so DuckDB can
+    rebuild the identical quantizer and the pruned result is a full
+    value oracle (r5 — was rows-only). The partition-pruned read and
+    per-cell scoring are the same code the kmeans path uses."""
     return sim.ann_ivf_topk(embeddings_path(sf_dir), k=ANN_K,
-                            num_queries=ANN_QUERIES, n_cells=8, nprobe=2)
+                            num_queries=ANN_QUERIES, n_cells=ANN_IVF_CELLS,
+                            nprobe=ANN_IVF_NPROBE, centroid_mode="pinned")
 
 
 def q_events_window(sf_dir: str) -> pa.Table:
@@ -2633,6 +2670,56 @@ SELECT query_vec_id, rank, vec_id, cosine FROM (
 ) WHERE rank <= {ANN_K}
 """
 
+# pruned IVF with PINNED centroids: DuckDB rebuilds the exact quantizer
+# (the 8 lowest-id vectors), assigns every vector to its argmax-cosine
+# cell (ties -> lower cell_id, matching np.argmax-first-max), probes the
+# 2 nearest cells per query, scores only those cells' members.
+_SQL_ANN_IVF_PRUNED = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {ANN_IVF_CELLS})
+),
+assign AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+             c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, embedding FROM embeddings
+      ORDER BY vec_id LIMIT {ANN_QUERIES}),
+probe AS (
+  SELECT query_vec_id, cell_id FROM (
+    SELECT q.vec_id AS query_vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+             c.cell_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {ANN_IVF_NPROBE}
+),
+sims AS (
+  SELECT q.vec_id AS query_vec_id, a.vec_id,
+         list_cosine_similarity(
+           q.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS cos
+  FROM q
+  JOIN probe p ON p.query_vec_id = q.vec_id
+  JOIN assign a ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> q.vec_id
+)
+SELECT query_vec_id, rank, vec_id, cosine FROM (
+  SELECT query_vec_id, vec_id,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank,
+         round(cos, 6) AS cosine
+  FROM sims
+) WHERE rank <= {ANN_K}
+"""
+
 _SQL_MORE_LIKE_THIS = f"""
 WITH {_TOKS_CTE},
 src AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {MLT_SRC_DOCS}),
@@ -4200,6 +4287,7 @@ QUERIES = {
     "proximity_topk": q_proximity_topk,
     "bm25_chunks_topk": q_bm25_chunks,
     "chunks": q_chunks,
+    "chunks_reconstruct": q_chunks_reconstruct,
     "normalize": q_normalize,
     "highlights": q_highlights,
     "dedup_exact": q_dedup_exact,
@@ -4303,8 +4391,18 @@ SELECT doc_id,
 FROM documents
 """
 
+# chunker coverage: concat(chunks) minus ASCII whitespace must equal the
+# document minus ASCII whitespace (the splitter partitions the text into
+# trimmed spans — nothing lost, nothing duplicated)
+_SQL_CHUNKS_RECONSTRUCT = r"""
+SELECT doc_id,
+       md5(regexp_replace(text, '[ \t\n\r\f\v]+', '', 'g')) AS recon_md5
+FROM documents
+"""
+
 ORACLE_SQL = {
     "normalize": _SQL_NORMALIZE,
+    "chunks_reconstruct": _SQL_CHUNKS_RECONSTRUCT,
     "doc_stats": _SQL_DOC_STATS,
     "token_classes": _SQL_TOKEN_CLASSES,
     "quality": _SQL_QUALITY,
@@ -4435,7 +4533,11 @@ ORACLE_SQL = {
     "revenue_forecast": _SQL_REVENUE_FORECAST,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "split_assign": _SQL_SPLIT_ASSIGN,
-    # rows-only (non-SQL-expressible): chunks, highlights (pure-Python
-    # value oracles in tests/test_conformance_oracle.py), ann_ivf_pruned
-    # (approximate by design; full-probe IVF is oracle-exact)
+    # pruned IVF runs with pinned centroids so DuckDB can rebuild the
+    # quantizer — a full value oracle despite the approximate probe
+    "ann_ivf_pruned": _SQL_ANN_IVF_PRUNED,
+    # rows-only (non-SQL-expressible): chunks, highlights,
+    # bm25_chunks_topk (chunk boundaries are the TextSplitter algorithm;
+    # pure-Python value oracles in tests/ + the chunks_reconstruct md5
+    # oracle pins coverage)
 }

@@ -167,7 +167,8 @@ def kmeans_centroids(
 IVF_FORMAT_VERSION = 3
 
 
-def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
+def _ivf_cache_dir(emb_path: str | list[str], n_cells: int,
+                   centroid_mode: str = "kmeans") -> str:
     """Content-keyed cache dir. Directory inputs are WALKED (a rewritten
     file inside a dir does not touch the dir's own stat) and mtimes are
     kept at ns precision — same discipline as conformance._sf_cache_key."""
@@ -190,7 +191,8 @@ def _ivf_cache_dir(emb_path: str | list[str], n_cells: int) -> str:
             ident.append((os.path.abspath(p), st.st_size, st.st_mtime_ns))
     ident.sort()  # key is a pure function of content, not enumeration
     key = hashlib.md5(
-        _json.dumps([ident, n_cells, IVF_FORMAT_VERSION]).encode()
+        _json.dumps([ident, n_cells, centroid_mode,
+                     IVF_FORMAT_VERSION]).encode()
     ).hexdigest()[:16]
     from semantic_pdf_search_engine_ray.config import scratch_root
     return f"{scratch_root()}/spse_ray_ivf_{key}"
@@ -202,11 +204,21 @@ def build_ivf_index(
     n_cells: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    centroid_mode: str = "kmeans",
 ) -> dict:
     """Build the cell-partitioned IVF layout: train the coarse quantizer
     on a driver-side sample, assign every corpus vector to its nearest
     centroid ONCE, and write the corpus as hive-partitioned parquet
     (``cells/cell=<c>/``) plus a centroids table and committed manifest.
+
+    ``centroid_mode``: "kmeans" (default — Lloyd on a sample, the real
+    quantizer) or "pinned" — the centroids are the ``n_cells``
+    lowest-id corpus vectors themselves. Pinned mode exists so the
+    PRUNED probe path is SQL-expressible: DuckDB can rebuild the exact
+    same quantizer (ORDER BY vec_id LIMIT n + list_cosine_similarity
+    argmax), turning ann_ivf_pruned from a rows-only check into a full
+    value oracle while exercising the identical partition-pruned read
+    and per-cell scoring machinery.
 
     This is the physical layout the 100 TB query path relies on: a query
     probing ``nprobe`` of ``n_cells`` cells reads ONLY those partition
@@ -218,9 +230,13 @@ def build_ivf_index(
     if mf.is_ready(index_dir):
         return mf.load_manifest(index_dir)
     os.makedirs(index_dir, exist_ok=True)
-    sample = pads.dataset(emb_path).head(4096, columns=[emb_col])
-    smat = _normalize(np.array(sample.column(emb_col).to_pylist(), np.float64))
-    cents = kmeans_centroids(smat, n_cells)
+    if centroid_mode == "pinned":
+        _cids, cents = load_query_matrix(emb_path, n_cells, id_col, emb_col)
+    else:
+        sample = pads.dataset(emb_path).head(4096, columns=[emb_col])
+        smat = _normalize(
+            np.array(sample.column(emb_col).to_pylist(), np.float64))
+        cents = kmeans_centroids(smat, n_cells)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -253,6 +269,7 @@ def build_ivf_index(
     payload = {
         "kind": "ivf",
         "ivf_format_version": IVF_FORMAT_VERSION,
+        "centroid_mode": centroid_mode,
         "n_cells": int(len(cents)),
         "n_vectors": int(n_vectors),
         "id_col": id_col,
@@ -273,6 +290,7 @@ def ann_ivf_topk(
     emb_col: str = "embedding",
     index_dir: str | None = None,
     scan_stats: dict | None = None,
+    centroid_mode: str = "kmeans",
 ) -> pa.Table:
     """IVF ANN over the cell-partitioned layout built by build_ivf_index
     (built on demand into a content-keyed /tmp dir when ``index_dir`` is
@@ -287,8 +305,9 @@ def ann_ivf_topk(
     receives rows_scanned / n_vectors / cells_probed as pruning evidence.
     """
     qids, qmat = load_query_matrix(emb_path, num_queries, id_col, emb_col)
-    index_dir = index_dir or _ivf_cache_dir(emb_path, n_cells)
-    meta = build_ivf_index(emb_path, index_dir, n_cells, id_col, emb_col)
+    index_dir = index_dir or _ivf_cache_dir(emb_path, n_cells, centroid_mode)
+    meta = build_ivf_index(emb_path, index_dir, n_cells, id_col, emb_col,
+                           centroid_mode=centroid_mode)
     cents_tbl = pads.dataset(
         os.path.join(index_dir, "centroids.parquet")
     ).to_table()

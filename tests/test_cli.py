@@ -177,6 +177,25 @@ def test_serve_upload_ready_search_roundtrip(sharded_root):
         assert res and res[0]["doc_id"] == up["doc_ids"][0]
         assert res[0]["url"] == "upload://t1"
         assert marker.split()[0] in res[0]["text"]
+
+        # stored-document viewer (repl.rs:285-290): GET /api/doc serves
+        # the doc-store row the hit points at — full text, not a snippet
+        doc = _http_json(f"{base}/api/doc?id={res[0]['doc_id']}")
+        assert doc["doc_id"] == up["doc_ids"][0]
+        assert doc["url"] == "upload://t1"
+        assert doc["text"] == marker_doc_text
+        assert doc["n_chars"] == len(marker_doc_text)
+        import urllib.error as _ue
+        try:
+            _http_json(f"{base}/api/doc?id=999999")
+            raise AssertionError("expected 404")
+        except _ue.HTTPError as e:
+            assert e.code == 404
+        try:
+            _http_json(f"{base}/api/doc?id=notanint")
+            raise AssertionError("expected 400")
+        except _ue.HTTPError as e:
+            assert e.code == 400
         assert res[0]["highlights"] and all(
             h["end"] > h["start"] for h in res[0]["highlights"])
 
