@@ -4042,6 +4042,10 @@ FROM b
 """
 
 K_CAND_HYBRID = 10
+# the IVF variant runs at a different candidate depth so the two hybrid
+# entries are independent checks, not one result hashed twice
+K_CAND_HYBRID_IVF = 12
+HYBRID_IVF_CELLS = 8
 
 
 def ensure_hashed_vec_store(sf_dir: str) -> str:
@@ -4079,6 +4083,48 @@ def q_hybrid_topk(sf_dir: str) -> pa.Table:
     return hybrid_sparse_rrf(
         index_dir, vec_dir, queries, k=TOP_K, k_cand=K_CAND_HYBRID,
         dim=ts.HASHED_TFIDF_DIM,
+    )
+
+
+def ensure_dense_vec_store(sf_dir: str) -> str:
+    """Materialize the corpus's hashed-tf-idf DENSE round-6 vectors
+    (doc_id, embedding list<float64>[dim]) once as parquet — the store
+    the IVF-served hybrid leg builds its cell-partitioned index over.
+    Values are the SAME half-away-rounded entries as the long form, so
+    dense dot == bucket-join cosine exactly."""
+    vec_dir = f"{_SCRATCH}/spse_ray_dvec_{_sf_cache_key(sf_dir)}"
+    marker = os.path.join(vec_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(vec_dir, ignore_errors=True)
+        ts.hashed_tfidf(read_docs(sf_dir), dense=True,
+                        round6=True).write_parquet(vec_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return vec_dir
+
+
+def q_hybrid_ivf_topk(sf_dir: str, nprobe: int | None = None,
+                      scan_stats: dict | None = None) -> pa.Table:
+    """The composed dense retrieval path (VERDICT r4 next #7): text
+    query -> hashed-tf-idf dense vector -> cell-partitioned IVF probed
+    cosine top-k_cand -> RRF fusion with BM25. At the default full probe
+    (nprobe=None) the result is EXACTLY the brute-force hybrid, so the
+    SQL oracle value-checks the whole composition; nprobe < n_cells is
+    the scale configuration (probed-cells-only reads — pruning evidence
+    pinned by tests/test_hybrid_ivf.py)."""
+    from semantic_pdf_search_engine_ray.pipelines.rerank import (
+        hybrid_ivf_rrf,
+    )
+
+    index_dir = ensure_index(sf_dir)
+    dvec_dir = ensure_dense_vec_store(sf_dir)
+    queries = derive_query_table(index_dir)
+    return hybrid_ivf_rrf(
+        index_dir, dvec_dir, queries, k=TOP_K, k_cand=K_CAND_HYBRID_IVF,
+        dim=ts.HASHED_TFIDF_DIM, n_cells=HYBRID_IVF_CELLS, nprobe=nprobe,
+        scan_stats=scan_stats,
     )
 
 
@@ -4169,7 +4215,14 @@ ORDER BY query_id, doc_id, rect_idx
 """
 
 
-_SQL_HYBRID_TOPK = f"""
+def _sql_hybrid_topk(k_cand: int) -> str:
+    """The hybrid-retrieval oracle, parameterized by per-leg candidate
+    depth: BM25 top-k_cand FULL OUTER JOIN hashed-tf-idf cosine
+    top-k_cand, RRF, fused top-TOP_K. Shared verbatim by hybrid_topk
+    (sparse bucket-join vector leg) and hybrid_ivf_topk (dense IVF
+    full-probe vector leg) — the two engine paths must produce the SAME
+    values; only the physical plan differs."""
+    return f"""
 WITH {_TOKS_CTE},
 qterms AS (
   SELECT r::BIGINT AS query_id, term FROM head
@@ -4194,7 +4247,7 @@ lex AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, doc_id ASC)::BIGINT AS lrank
     FROM scores
-  ) WHERE lrank <= {K_CAND_HYBRID}
+  ) WHERE lrank <= {k_cand}
 ),
 hvw AS (
   SELECT tf.doc_id,
@@ -4232,7 +4285,7 @@ vec AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY round(cos, 6) DESC, doc_id ASC)::BIGINT AS vrank
     FROM cosim
-  ) WHERE vrank <= {K_CAND_HYBRID}
+  ) WHERE vrank <= {k_cand}
 ),
 fused AS (
   SELECT coalesce(l.query_id, v.query_id) AS query_id,
@@ -4250,6 +4303,10 @@ SELECT query_id, rank, doc_id, rrf_r FROM (
   FROM fused
 ) WHERE rank <= {TOP_K}
 """
+
+
+_SQL_HYBRID_TOPK = _sql_hybrid_topk(K_CAND_HYBRID)
+_SQL_HYBRID_IVF_TOPK = _sql_hybrid_topk(K_CAND_HYBRID_IVF)
 
 
 QUERIES = {
@@ -4282,6 +4339,7 @@ QUERIES = {
     "bm25_sharded": q_bm25_sharded,
     "bm25_prf_rerank": q_bm25_prf_rerank,
     "hybrid_topk": q_hybrid_topk,
+    "hybrid_ivf_topk": q_hybrid_ivf_topk,
     "highlight_rects": q_highlight_rects,
     "phrase_topk": q_phrase_topk,
     "proximity_topk": q_proximity_topk,
@@ -4503,6 +4561,7 @@ ORACLE_SQL = {
     "lang_confusion": _SQL_LANG_CONFUSION,
     "bm25_static_rank": _SQL_BM25_STATIC_RANK,
     "hybrid_topk": _SQL_HYBRID_TOPK,
+    "hybrid_ivf_topk": _SQL_HYBRID_IVF_TOPK,
     "highlight_rects": _SQL_HIGHLIGHT_RECTS,
     "hits_scores": _SQL_HITS,
     "pagerank_seeded": _SQL_PAGERANK_SEEDED,

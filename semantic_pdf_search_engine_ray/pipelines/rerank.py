@@ -152,48 +152,19 @@ HYBRID_SCHEMA = pa.schema(
 )
 
 
-def hybrid_sparse_rrf(
+def _lex_leg(
     index_dir: str,
-    hashed_vec_path: str,
     queries: pa.Table,
-    *,
-    k: int = 5,
-    k_cand: int = 10,
-    dim: int = 64,
-    cfg: EngineConfig | None = None,
-    num_partitions: int = 8,
-) -> pa.Table:
-    """Hybrid retrieval over ONE corpus: per text query, the BM25 top
-    ``k_cand`` (lexical leg) is fused with the hashed-tf-idf cosine top
-    ``k_cand`` (vector leg) by reciprocal-rank fusion over the UNION —
-    the engine analog of the reference's semantic search + its README's
-    "hybrid search" future improvement (`README.md:151-152`,
-    `qdrant.rs:70-96`), with the learned embedder replaced by the
-    deterministic public-knowledge featurizer (`textstats.hashed_tfidf`)
-    so the whole path is SQL-mirrorable.
-
-    The vector leg is SPARSE retrieval: the query's hashed vector has
-    <= |query terms| non-zero buckets, so cosine candidates come from a
-    bucket-key hash JOIN against the long-form vector table — the
-    inverted-index formulation of vector search (only docs sharing a
-    bucket are touched; nothing dense is scanned or broadcast). Both
-    legs rank on round(score, 6) with doc_id tiebreak; fusion is
-    rrf = 1/(60+r_lex) + 1/(60+r_vec) with a missing leg contributing 0
-    (full-outer union). Output: (query_id, rank, doc_id, rrf_r) top-k.
-    """
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
-
-    from semantic_pdf_search_engine_ray.functions.shingle import md5_hash64
-    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    cfg: EngineConfig,
+    k_cand: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    """BM25 top-k_cand per query through the query actor pool, as a
+    (query_id, doc_id, lrank) dataset — the lexical leg both hybrid
+    variants fuse against."""
     from semantic_pdf_search_engine_ray.pipelines.search import run_queries
-    from semantic_pdf_search_engine_ray.state import manifest as mf
 
-    cfg = cfg or EngineConfig()
-
-    # ---- lexical leg: BM25 top-k_cand through the query actor pool ----
-    lex = (
+    return (
         run_queries(index_dir, rd.from_arrow(queries), cfg, k=k_cand)
         .map_batches(
             lambda t: pa.table({
@@ -207,7 +178,20 @@ def hybrid_sparse_rrf(
         .materialize()
     )
 
-    # ---- query hashed vectors (driver-side: |queries| x <=2 buckets) ----
+
+def _query_bucket_weights(
+    index_dir: str, queries: pa.Table, dim: int
+) -> pa.Table:
+    """Per-query hashed-tf-idf weights as a LONG (query_id, bucket,
+    qval) table — L2-normalized, round-6, zero-weight buckets dropped
+    (mirrors the oracle's ``WHERE w != 0``). Driver-side: |queries| x
+    <= |query terms| rows."""
+    import pyarrow.parquet as pq
+
+    from semantic_pdf_search_engine_ray.functions.shingle import md5_hash64
+    from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
+    from semantic_pdf_search_engine_ray.state import manifest as mf
+
     n_docs = int(mf.load_manifest(index_dir)["n_docs"])
     d = pq.read_table(os.path.join(index_dir, "dictionary"),
                       columns=["term", "df"])
@@ -237,64 +221,18 @@ def hybrid_sparse_rrf(
             q_ids.append(int(qid))
             q_buckets.append(int(b))
             q_vals.append(round(v / norm, 6))
-    qtbl = pa.table({
+    return pa.table({
         "query_id": pa.array(q_ids, type=pa.int64()),
         "bucket": pa.array(q_buckets, type=pa.int64()),
         "qval": pa.array(q_vals, type=pa.float64()),
     })
-    q_ref = ray.put(qtbl)
 
-    # ---- vector leg: bucket-join contributions, grouped cosine sum ----
-    def contribs(batch: pa.Table) -> pa.Table:
-        qt = ray.get(q_ref)
-        j = batch.select(["doc_id", "bucket", "value"]).join(
-            qt, keys=["bucket"], join_type="inner"
-        )
-        if j.num_rows == 0:
-            return pa.table({
-                "query_id": pa.array([], type=pa.int64()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "contrib": pa.array([], type=pa.float64()),
-            })
-        # map-side partial sum (combiner) before the global groupby
-        part = j.append_column(
-            "contrib",
-            pc.multiply(j.column("value"), j.column("qval")),
-        ).group_by(["query_id", "doc_id"]).aggregate([("contrib", "sum")])
-        return pa.table({
-            "query_id": part.column("query_id").cast(pa.int64()),
-            "doc_id": part.column("doc_id").cast(pa.int64()),
-            "contrib": part.column("contrib_sum").cast(pa.float64()),
-        })
 
-    cos = (
-        rd.read_parquet(hashed_vec_path)
-        .map_batches(contribs, batch_format="pyarrow")
-        .groupby(["query_id", "doc_id"])
-        .aggregate(Sum("contrib", alias_name="cos"))
-    )
-
-    def vec_topk(group: pa.Table) -> pa.Table:
-        qid = int(group.column("query_id")[0].as_py())
-        rows = sorted(
-            zip(group.column("doc_id").to_pylist(),
-                group.column("cos").to_pylist()),
-            key=lambda r: (-round(r[1], 6), r[0]),
-        )[:k_cand]
-        return pa.table({
-            "query_id": pa.array([qid] * len(rows), type=pa.int64()),
-            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
-            "vrank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
-        })
-
-    vec = (
-        cos.groupby("query_id")
-        .map_groups(vec_topk, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .materialize()
-    )
-
-    # ---- RRF fusion over the union of the two legs ----
+def _fuse_rrf(
+    lex: rd.Dataset, vec: rd.Dataset, k: int, num_partitions: int
+) -> pa.Table:
+    """RRF fusion over the full-outer union of the lexical and vector
+    legs; top-k per query, rrf rounded to 6 dp for the SQL mirror."""
     if vec.count() == 0:
         fused = lex.map_batches(
             lambda t: pa.table({
@@ -353,3 +291,175 @@ def hybrid_sparse_rrf(
     return pa.concat_tables(parts).sort_by(
         [("query_id", "ascending"), ("rank", "ascending")]
     )
+
+
+def hybrid_sparse_rrf(
+    index_dir: str,
+    hashed_vec_path: str,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    k_cand: int = 10,
+    dim: int = 64,
+    cfg: EngineConfig | None = None,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Hybrid retrieval over ONE corpus: per text query, the BM25 top
+    ``k_cand`` (lexical leg) is fused with the hashed-tf-idf cosine top
+    ``k_cand`` (vector leg) by reciprocal-rank fusion over the UNION —
+    the engine analog of the reference's semantic search + its README's
+    "hybrid search" future improvement (`README.md:151-152`,
+    `qdrant.rs:70-96`), with the learned embedder replaced by the
+    deterministic public-knowledge featurizer (`textstats.hashed_tfidf`)
+    so the whole path is SQL-mirrorable.
+
+    The vector leg is SPARSE retrieval: the query's hashed vector has
+    <= |query terms| non-zero buckets, so cosine candidates come from a
+    bucket-key hash JOIN against the long-form vector table — the
+    inverted-index formulation of vector search (only docs sharing a
+    bucket are touched; nothing dense is scanned or broadcast). Both
+    legs rank on round(score, 6) with doc_id tiebreak; fusion is
+    rrf = 1/(60+r_lex) + 1/(60+r_vec) with a missing leg contributing 0
+    (full-outer union). Output: (query_id, rank, doc_id, rrf_r) top-k.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cfg = cfg or EngineConfig()
+
+    # ---- lexical leg: BM25 top-k_cand through the query actor pool ----
+    lex = _lex_leg(index_dir, queries, cfg, k_cand, num_partitions)
+
+    # ---- query hashed vectors (driver-side: |queries| x <=2 buckets) ----
+    qtbl = _query_bucket_weights(index_dir, queries, dim)
+    q_ref = ray.put(qtbl)
+
+    # ---- vector leg: bucket-join contributions, grouped cosine sum ----
+    def contribs(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        j = batch.select(["doc_id", "bucket", "value"]).join(
+            qt, keys=["bucket"], join_type="inner"
+        )
+        if j.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "contrib": pa.array([], type=pa.float64()),
+            })
+        # map-side partial sum (combiner) before the global groupby
+        part = j.append_column(
+            "contrib",
+            pc.multiply(j.column("value"), j.column("qval")),
+        ).group_by(["query_id", "doc_id"]).aggregate([("contrib", "sum")])
+        return pa.table({
+            "query_id": part.column("query_id").cast(pa.int64()),
+            "doc_id": part.column("doc_id").cast(pa.int64()),
+            "contrib": part.column("contrib_sum").cast(pa.float64()),
+        })
+
+    cos = (
+        rd.read_parquet(hashed_vec_path)
+        .map_batches(contribs, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("contrib", alias_name="cos"))
+    )
+
+    def vec_topk(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        rows = sorted(
+            zip(group.column("doc_id").to_pylist(),
+                group.column("cos").to_pylist()),
+            key=lambda r: (-round(r[1], 6), r[0]),
+        )[:k_cand]
+        return pa.table({
+            "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "vrank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+        })
+
+    vec = (
+        cos.groupby("query_id")
+        .map_groups(vec_topk, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # ---- RRF fusion over the union of the two legs ----
+    return _fuse_rrf(lex, vec, k, num_partitions)
+
+
+def hybrid_ivf_rrf(
+    index_dir: str,
+    dense_vec_path: str,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    k_cand: int = 10,
+    dim: int = 64,
+    n_cells: int = 8,
+    nprobe: int | None = None,
+    cfg: EngineConfig | None = None,
+    num_partitions: int = 8,
+    scan_stats: dict | None = None,
+) -> pa.Table:
+    """Hybrid retrieval with the vector leg served by the IVF index —
+    the composed dense path (VERDICT r4 next #7): text query ->
+    hashed-tf-idf dense vector -> cell-partitioned IVF probed cosine
+    top-k_cand -> RRF fusion with the BM25 leg. The scale successor to
+    ``hybrid_sparse_rrf``'s bucket join: when hashed vectors densify
+    (large corpora fill every bucket), the bucket join degenerates to
+    all-pairs, while the IVF leg reads only the ``nprobe`` probed cells'
+    partition directories per query batch.
+
+    ``dense_vec_path`` is the (doc_id, embedding list<float64>[dim])
+    store written by ``textstats.hashed_tfidf(dense=True, round6=True)``
+    — the SAME round-6 values as the long form, so at full probe
+    (nprobe=None) the dense dot product equals the sparse bucket-join
+    cosine exactly and the whole pipeline is value-checked by the same
+    SQL oracle as hybrid_sparse_rrf. cosine <= 0 candidates are dropped
+    (non-negative features: cos > 0 == shares a non-zero bucket),
+    ranking is round6-half-away with doc_id ASC ties — both legs and
+    the fusion match the oracle bit-for-bit. ``scan_stats`` receives the
+    IVF pruning evidence (rows/bytes scanned, cells probed)."""
+    from semantic_pdf_search_engine_ray.pipelines.similarity import (
+        ann_ivf_topk,
+    )
+
+    cfg = cfg or EngineConfig()
+
+    # ---- lexical leg ----
+    lex = _lex_leg(index_dir, queries, cfg, k_cand, num_partitions)
+
+    # ---- densify the per-query hashed weights (driver-side, tiny) ----
+    qtbl = _query_bucket_weights(index_dir, queries, dim)
+    qid_arr = qtbl.column("query_id").to_numpy()
+    qids = np.unique(qid_arr).astype(np.int64)
+    pos = {int(q): i for i, q in enumerate(qids)}
+    qmat = np.zeros((len(qids), dim), dtype=np.float64)
+    for q, b, v in zip(qid_arr,
+                       qtbl.column("bucket").to_numpy(),
+                       qtbl.column("qval").to_numpy()):
+        qmat[pos[int(q)], int(b)] = v
+    if len(qids) == 0:
+        return _fuse_rrf(lex, rd.from_arrow(
+            pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "doc_id": pa.array([], type=pa.int64()),
+                      "vrank": pa.array([], type=pa.int64())})
+        ), k, num_partitions)
+
+    # ---- vector leg: IVF probed cosine over the dense store ----
+    # qvals are already L2-normalized round-6; do NOT re-normalize (the
+    # oracle's qvec is exactly these values), so pass the matrix through
+    ivf = ann_ivf_topk(
+        dense_vec_path, k=k_cand, n_cells=n_cells, nprobe=nprobe,
+        id_col="doc_id", emb_col="embedding", centroid_mode="pinned",
+        queries=(qids, qmat), exclude_self=False, positive_only=True,
+        rank_round6=True, normalize_corpus=False, scan_stats=scan_stats,
+    )
+    vec = rd.from_arrow(pa.table({
+        "query_id": ivf.column("query_vec_id").cast(pa.int64()),
+        "doc_id": ivf.column("vec_id").cast(pa.int64()),
+        "vrank": ivf.column("rank").cast(pa.int64()),
+    })).repartition(num_partitions).materialize()
+
+    return _fuse_rrf(lex, vec, k, num_partitions)

@@ -35,6 +35,11 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from semantic_pdf_search_engine_ray.functions.num import (
+    round6_half_away as _r6,
+    round6_half_away_arr as _r6_arr,
+)
+
 TOPK_SCHEMA = pa.schema(
     [
         ("query_vec_id", pa.int64()),
@@ -64,9 +69,12 @@ def load_query_matrix(
     return qids, qmat
 
 
-def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
+def _merge_topk(parts: list[pa.Table], k: int,
+                round_key: bool = False) -> pa.Table:
     """Merge per-batch partial top-k tables into the global top-k per
-    query (ties: cosine DESC, vec_id ASC — pinned like BM25's A1)."""
+    query (ties: cosine DESC, vec_id ASC — pinned like BM25's A1).
+    ``round_key=True`` orders on round-half-away(cos, 6) — the key the
+    rank_round6 partials cut on — instead of the raw cosine."""
     heaps: dict[int, list] = {}
     for p in parts:
         for qid, vid, cos in zip(
@@ -75,7 +83,7 @@ def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
             p.column("cosine").to_pylist(),
         ):
             h = heaps.setdefault(qid, [])
-            item = (cos, -vid)
+            item = (_r6(cos) if round_key else cos, -vid)
             if len(h) < k:
                 heapq.heappush(h, item)
             elif item > h[0]:
@@ -87,7 +95,8 @@ def _merge_topk(parts: list[pa.Table], k: int) -> pa.Table:
             qs.append(qid)
             rs.append(rank)
             vs.append(-nvid)
-            cs.append(round(cos, 6))
+            # round_key items are already half-away-rounded
+            cs.append(cos if round_key else round(cos, 6))
     return pa.table(
         {
             "query_vec_id": pa.array(qs, type=pa.int64()),
@@ -291,6 +300,11 @@ def ann_ivf_topk(
     index_dir: str | None = None,
     scan_stats: dict | None = None,
     centroid_mode: str = "kmeans",
+    queries: tuple[np.ndarray, np.ndarray] | None = None,
+    exclude_self: bool = True,
+    positive_only: bool = False,
+    rank_round6: bool = False,
+    normalize_corpus: bool = True,
 ) -> pa.Table:
     """IVF ANN over the cell-partitioned layout built by build_ivf_index
     (built on demand into a content-keyed /tmp dir when ``index_dir`` is
@@ -303,8 +317,28 @@ def ann_ivf_topk(
     ann_brute_topk (tests + the SQL oracle assert this); small nprobe is
     the approximate scale configuration. ``scan_stats`` (optional dict)
     receives rows_scanned / n_vectors / cells_probed as pruning evidence.
+
+    ``queries`` supplies an EXTERNAL (qids, L2-normalized qmat) pair —
+    e.g. text-derived hashed-tf-idf query vectors for the hybrid dense
+    leg — instead of the corpus's lowest-id vectors; external ids live
+    in a different id space, so pass exclude_self=False with it.
+    ``positive_only`` drops cosine <= 0 rows (for non-negative feature
+    vectors this equals "shares at least one non-zero bucket", matching
+    the sparse bucket-join leg's candidate set); ``rank_round6`` ranks
+    and cuts on round-half-away(cos, 6) with id ASC tie-break — the SQL
+    oracle's ORDER BY round(cos, 6) DESC, doc_id ASC contract.
+    ``normalize_corpus=False`` scores the stored vectors RAW — required
+    when the store is already unit-normalized-then-rounded (re-dividing
+    by the ~1±4e-6 post-rounding norm would perturb every product past
+    the round-6 boundary the oracle sums over).
     """
-    qids, qmat = load_query_matrix(emb_path, num_queries, id_col, emb_col)
+    if queries is not None:
+        qids, qmat = queries
+        qids = np.asarray(qids, dtype=np.int64)
+        qmat = np.asarray(qmat, dtype=np.float64)
+    else:
+        qids, qmat = load_query_matrix(emb_path, num_queries, id_col,
+                                       emb_col)
     index_dir = index_dir or _ivf_cache_dir(emb_path, n_cells, centroid_mode)
     meta = build_ivf_index(emb_path, index_dir, n_cells, id_col, emb_col,
                            centroid_mode=centroid_mode)
@@ -324,9 +358,10 @@ def ann_ivf_topk(
     def partial(batch: pa.Table) -> pa.Table:
         _qids, _qmat, _c2q = ray.get(q_ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bmat = _normalize(
-            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
-        )
+        bmat = np.array(batch.column(emb_col).to_pylist(),
+                        dtype=np.float64)
+        if normalize_corpus:
+            bmat = _normalize(bmat)
         cell = np.asarray(batch.column("cell_id").to_numpy(
             zero_copy_only=False
         )).astype(np.int64)
@@ -340,12 +375,19 @@ def ann_ivf_topk(
             cids = bids[rows]
             for si, qi in enumerate(q_rows):
                 qid = int(_qids[qi])
-                mask = cids != qid  # exclude self
+                row = sims[si]
+                mask = (cids != qid) if exclude_self else np.ones(
+                    cids.shape, dtype=bool)
+                if positive_only:
+                    mask &= row > 0.0
                 idx = np.flatnonzero(mask)
                 if idx.size == 0:
                     continue
-                row = sims[si]
-                take = idx[np.lexsort((cids[idx], -row[idx]))[: k]]
+                # the partial CUT must use the same ordering key as the
+                # global merge, or a rounding-tie doc the oracle keeps
+                # could be dropped inside a batch
+                keyrow = _r6_arr(row[idx]) if rank_round6 else row[idx]
+                take = idx[np.lexsort((cids[idx], -keyrow))[: k]]
                 for t in take:
                     qs.append(qid)
                     vs.append(int(cids[t]))
@@ -390,7 +432,8 @@ def ann_ivf_topk(
         scan_stats["n_vectors"] = int(meta["n_vectors"])
         scan_stats["cells_probed"] = len(needed)
         scan_stats["n_cells"] = int(meta["n_cells"])
-    return _merge_topk(parts, k) if parts else TOPK_SCHEMA.empty_table()
+    return (_merge_topk(parts, k, round_key=rank_round6)
+            if parts else TOPK_SCHEMA.empty_table())
 
 
 # --------------------------------------------------------------------------

@@ -29,6 +29,7 @@ import ray.data as rd
 from semantic_pdf_search_engine_ray.config import TOKEN_PATTERN
 from semantic_pdf_search_engine_ray.functions.num import (
     round6_half_away as _r6,
+    round6_half_away_arr as _r6_arr,
 )
 from semantic_pdf_search_engine_ray.functions.shingle import winnow_fingerprints
 from semantic_pdf_search_engine_ray.functions.tokenize import tokenize
@@ -519,7 +520,7 @@ HASHED_TFIDF_DIM = 64
 
 def hashed_tfidf(
     docs: rd.Dataset, dim: int = HASHED_TFIDF_DIM, num_partitions: int = 8,
-    dense: bool = False,
+    dense: bool = False, round6: bool = False,
 ) -> rd.Dataset:
     """Hashing-trick tf-idf document featurizer: every doc becomes an
     L2-normalized ``dim``-dimensional sparse vector,
@@ -564,10 +565,14 @@ def hashed_tfidf(
         doc_id = group.column("doc_id")[0].as_py()
         if dense:
             # one (doc_id, embedding) row — the shape the ANN / near-dup
-            # / SemDeDup family consumes (unrounded float64)
+            # / SemDeDup family consumes. round6=True emits the SAME
+            # half-away-rounded values as the long form, so a dense dot
+            # product equals the long form's bucket-join cosine exactly
+            # (the hybrid IVF leg's oracle-equivalence relies on this)
+            vec = _r6_arr(acc) if round6 else acc
             return pa.table(
                 {"doc_id": pa.array([doc_id], type=pa.int64()),
-                 "embedding": pa.array([acc.tolist()],
+                 "embedding": pa.array([vec.tolist()],
                                        type=pa.list_(pa.float64()))}
             )
         nz = np.flatnonzero(acc)

@@ -117,6 +117,7 @@ SUBSET = [
     "source_dup_rate",
     "props_field_stats",
     "hybrid_topk",
+    "hybrid_ivf_topk",
     "highlight_rects",
 ]
 
