@@ -12,6 +12,9 @@ Modes:
                                 BENCH_SCALING_CPUS; the sandbox stand-in
                                 for N vs 4N nodes); reports both
                                 throughputs + efficiency T_N/(4*T_4N)
+    python bench.py --keys a,b  targeted re-measure of a sweep-key
+                                subset on the same instrument (quiet
+                                wait + steal disclosure)
     python bench.py --child-build     (internal) one timed build at
                                 $RAY_GRAFT_CPUS cpus
 
@@ -222,6 +225,48 @@ def _wait_for_quiet() -> None:
         pause = min(10.0, max(_QUIET_BUDGET[0], 0))
         time.sleep(pause)
         _QUIET_BUDGET[0] -= pause
+
+
+def run_keys(keys: list[str]) -> dict:
+    """Targeted re-measure of a sweep-key subset on the SAME instrument
+    as the full sweep (quiet wait, fresh-session cadence, per-key steal
+    disclosure) — for isolating key regressions from host noise without
+    paying for the whole battery."""
+    import ray.data as rd
+
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    cpu0 = _cpu_stat()
+    _warm_pool()
+    restart_every = int(os.environ.get("BENCH_RESTART_EVERY", "8"))
+    stages: dict[str, float] = {}
+    steal_keys: dict[str, float] = {}
+    for i, name in enumerate(keys):
+        if i and i % restart_every == 0:
+            _restart_ray()
+        fn = cf.QUERIES[name]
+        _wait_for_quiet()
+        s0 = _cpu_stat()
+        t0 = time.monotonic()
+        out = fn(SF_DIR)
+        if isinstance(out, rd.Dataset):
+            out.count()
+        stages[name] = round(time.monotonic() - t0, 3)
+        key_steal = _host_conditions(s0, _cpu_stat())["steal_pct"]
+        if key_steal > QUIET_STEAL_PCT:
+            steal_keys[name] = key_steal
+    out = {
+        "metric": "targeted sweep-key re-measure",
+        "value": round(sum(stages.values()), 3),
+        "unit": "sec",
+        "queries": stages,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "host_conditions": _host_conditions(cpu0, _cpu_stat()),
+    }
+    if steal_keys:
+        out["steal_contaminated_keys"] = steal_keys
+    return out
 
 
 def run_bench() -> dict:
@@ -463,7 +508,9 @@ def run_bench() -> dict:
                  "weekday_profile", "source_dup_rate",
                  "props_field_stats",
                  # round-4 additions
-                 "hybrid_topk"):
+                 "hybrid_topk",
+                 # round-5 additions
+                 "hybrid_ivf_topk"):
         if n_swept and n_swept % restart_every == 0:
             _restart_ray()
         n_swept += 1
@@ -717,6 +764,15 @@ def main() -> None:
         import ray
 
         ray.shutdown()
+        return
+    if "--keys" in sys.argv:
+        keys = sys.argv[sys.argv.index("--keys") + 1].split(",")
+        _init_ray(NUM_CPUS)
+        result = run_keys(keys)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
         return
     if "--scaling" in sys.argv:
         # pre-generate the fixtures once so children measure only the job
