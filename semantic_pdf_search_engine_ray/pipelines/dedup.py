@@ -48,6 +48,9 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+from semantic_pdf_search_engine_ray.pipelines.similarity import (
+    _list_col_to_mat,
+)
 from semantic_pdf_search_engine_ray.functions.num import (
     round6_half_away as _round6,
 )
@@ -918,14 +921,14 @@ def embedding_dup_pairs(
     """
     full = pads.dataset(emb_path).to_table(columns=[id_col, emb_col])
     ids = full.column(id_col).to_numpy()
-    mat = np.array(full.column(emb_col).to_pylist(), dtype=np.float64)
+    mat = _list_col_to_mat(full.column(emb_col))
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     mat_ref = ray.put((ids, mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(mat_ref)
         bids = batch.column(id_col).to_numpy()
-        bmat = np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        bmat = _list_col_to_mat(batch.column(emb_col))
         bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
         sims = bmat @ all_mat.T
         rows_a, rows_b, rows_c = [], [], []

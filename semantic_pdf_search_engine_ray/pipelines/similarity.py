@@ -57,6 +57,33 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0.0, 1.0, norms)
 
 
+def _list_col_to_mat(col) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix WITHOUT the
+    per-element Python round-trip of ``np.array(col.to_pylist())``:
+    rectangular null-free lists flatten through the Arrow values
+    buffer (one memcpy/cast, no Python objects). Falls back to the
+    pylist path for ragged/null columns so behavior is unchanged."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) and col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            dim = col.type.list_size
+            flat = col.values.to_numpy(zero_copy_only=False)
+            start = col.offset * dim
+            return flat[start:start + len(col) * dim].astype(
+                np.float64, copy=False).reshape(len(col), dim)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offsets = col.offsets.to_numpy()
+            lens = np.diff(offsets)
+            if (lens == lens[0]).all():
+                dim = int(lens[0])
+                flat = col.values.to_numpy(zero_copy_only=False)
+                start = int(offsets[0])
+                return flat[start:start + len(col) * dim].astype(
+                    np.float64, copy=False).reshape(len(col), dim)
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
 def load_query_matrix(
     emb_path: str | list[str], num_queries: int, id_col: str, emb_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -65,7 +92,7 @@ def load_query_matrix(
     order = np.argsort(tbl.column(id_col).to_numpy(), kind="stable")[:num_queries]
     sub = tbl.take(pa.array(order))
     qids = sub.column(id_col).to_numpy().astype(np.int64)
-    qmat = _normalize(np.array(sub.column(emb_col).to_pylist(), dtype=np.float64))
+    qmat = _normalize(_list_col_to_mat(sub.column(emb_col)))
     return qids, qmat
 
 
@@ -123,7 +150,7 @@ def ann_brute_topk(
         _qids, _qmat = ray.get(q_ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
         bmat = _normalize(
-            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            _list_col_to_mat(batch.column(emb_col))
         )
         sims = _qmat @ bmat.T  # (Q, B)
         qs, vs, cs = [], [], []
@@ -244,14 +271,14 @@ def build_ivf_index(
     else:
         sample = pads.dataset(emb_path).head(4096, columns=[emb_col])
         smat = _normalize(
-            np.array(sample.column(emb_col).to_pylist(), np.float64))
+            _list_col_to_mat(sample.column(emb_col)))
         cents = kmeans_centroids(smat, n_cells)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
         _cents = ray.get(cents_ref)
         bmat = _normalize(
-            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            _list_col_to_mat(batch.column(emb_col))
         )
         cell = np.argmax(bmat @ _cents.T, axis=1).astype(np.int64)
         # "cell" becomes the hive partition directory; "cell_id" is the
@@ -345,7 +372,7 @@ def ann_ivf_topk(
     cents_tbl = pads.dataset(
         os.path.join(index_dir, "centroids.parquet")
     ).to_table()
-    cents = np.array(cents_tbl.column("centroid").to_pylist(), np.float64)
+    cents = _list_col_to_mat(cents_tbl.column("centroid"))
     nprobe = len(cents) if nprobe is None else min(nprobe, len(cents))
     probe = np.argsort(-(qmat @ cents.T), kind="stable", axis=1)[:, :nprobe]
     needed = sorted({int(c) for c in probe.ravel()})
@@ -358,8 +385,7 @@ def ann_ivf_topk(
     def partial(batch: pa.Table) -> pa.Table:
         _qids, _qmat, _c2q = ray.get(q_ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
-        bmat = np.array(batch.column(emb_col).to_pylist(),
-                        dtype=np.float64)
+        bmat = _list_col_to_mat(batch.column(emb_col))
         if normalize_corpus:
             bmat = _normalize(bmat)
         cell = np.asarray(batch.column("cell_id").to_numpy(
@@ -472,7 +498,7 @@ def cluster_assign(
         cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
         mat = _normalize(
-            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            _list_col_to_mat(batch.column(emb_col))
         )
         cos = mat @ cm.T
         r6 = round6_half_away_arr(cos)
@@ -522,7 +548,7 @@ def semdedup_pairs(
             )
         cm = ray.get(cref)
         mat = _normalize(
-            np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            _list_col_to_mat(batch.column(emb_col))
         )
         r6 = round6_half_away_arr(mat @ cm.T)
         cl = np.argmax(r6, axis=1).astype(np.int64)
@@ -544,7 +570,7 @@ def semdedup_pairs(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         mat = _normalize(
-            np.array(group.column(emb_col).to_pylist(), dtype=np.float64)
+            _list_col_to_mat(group.column(emb_col))
         )[order]
         cos = mat @ mat.T
         out_a, out_b, out_c = [], [], []

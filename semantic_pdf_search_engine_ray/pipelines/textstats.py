@@ -1353,10 +1353,10 @@ def source_vocab_overlap_thresholded(
             "jaccard_r": pa.array([], type=pa.float64()),
         }))
 
+    cand_arr = pa.array(sorted(cand_sources), type=pa.string())
+
     def restrict(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(
-            t.column("source"),
-            value_set=pa.array(sorted(cand_sources), type=pa.string())))
+        return t.filter(pc.is_in(t.column("source"), value_set=cand_arr))
 
     stc = st.map_batches(restrict, batch_format="pyarrow")
     inter = (
