@@ -619,9 +619,17 @@ def _scaling_child(mode: str, cpus: int) -> dict:
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(cpus)
     env["BENCH_PAGES_DOCS"] = str(BENCH_SCALING_DOCS)
+    cmd = [sys.executable, os.path.abspath(__file__), mode]
+    # HARD-pin the child to `cpus` physical cores: ray.init(num_cpus=N)
+    # caps logical task slots only — helper threads (Arrow IO, driver
+    # compute, GCS) spill onto idle neighbor cores, so an un-pinned
+    # "4-cpu" child on an idle 32-core box runs measurably faster than
+    # a real 4-core node would, deflating the efficiency ratio. A node
+    # in a real cluster cannot borrow its neighbor's cores.
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), mode],
-        capture_output=True, text=True, env=env, cwd=REPO,
+        cmd, capture_output=True, text=True, env=env, cwd=REPO,
     )
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
     if p.returncode != 0 or not lines:
@@ -653,9 +661,23 @@ def run_scaling() -> dict:
     jobs: dict[str, dict] = {}
 
     # job 1: the headline index build (partitioned spill + encode)
+    # A child whose own timed window recorded steal above the quiet
+    # threshold measured the host, not the engine — retry it (bounded
+    # budget per job) before letting best-of-N pick among noise.
+    retry_budget = [int(os.environ.get("BENCH_SCALING_RETRIES", "2"))]
+
     def quiet_child(mode: str, cpus: int) -> dict:
         _wait_for_quiet()  # don't LAUNCH a child into a steal burst
-        return _scaling_child(mode, cpus)
+        r = _scaling_child(mode, cpus)
+        while (r.get("host", {}).get("steal_pct", 0.0) > QUIET_STEAL_PCT
+               and retry_budget[0] > 0):
+            retry_budget[0] -= 1
+            _wait_for_quiet()
+            nxt = _scaling_child(mode, cpus)
+            r = min((r, nxt), key=lambda x: x["sec"])
+            if nxt.get("host", {}).get("steal_pct", 0.0) <= QUIET_STEAL_PCT:
+                break
+        return r
 
     out: dict[str, dict] = {}
     for cpus in (lo, hi):
@@ -678,6 +700,7 @@ def run_scaling() -> dict:
         "n_docs": out[str(lo)]["n_docs"],
     }
 
+    retry_budget[0] = int(os.environ.get("BENCH_SCALING_RETRIES", "2"))
     # job 2: cross-doc line dedup (groupby + two hash joins — a
     # structurally different shuffle chain)
     out = {}
