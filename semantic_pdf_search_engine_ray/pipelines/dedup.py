@@ -922,14 +922,15 @@ def embedding_dup_pairs(
     full = pads.dataset(emb_path).to_table(columns=[id_col, emb_col])
     ids = full.column(id_col).to_numpy()
     mat = _list_col_to_mat(full.column(emb_col))
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # out-of-place: _list_col_to_mat may return a read-only Arrow view
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     mat_ref = ray.put((ids, mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(mat_ref)
         bids = batch.column(id_col).to_numpy()
         bmat = _list_col_to_mat(batch.column(emb_col))
-        bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+        bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
         sims = bmat @ all_mat.T
         rows_a, rows_b, rows_c = [], [], []
         for i, a in enumerate(bids):

@@ -62,7 +62,11 @@ def _list_col_to_mat(col) -> np.ndarray:
     per-element Python round-trip of ``np.array(col.to_pylist())``:
     rectangular null-free lists flatten through the Arrow values
     buffer (one memcpy/cast, no Python objects). Falls back to the
-    pylist path for ragged/null columns so behavior is unchanged."""
+    pylist path for ragged/null columns so behavior is unchanged.
+
+    CONTRACT: the result may be a READ-ONLY view of the Arrow buffer
+    (when values are already float64) — consumers must not mutate in
+    place; use out-of-place ops or np.array(..., copy=True)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if len(col) and col.null_count == 0:
