@@ -667,17 +667,21 @@ def run_scaling() -> dict:
     retry_budget = [int(os.environ.get("BENCH_SCALING_RETRIES", "2"))]
 
     def quiet_child(mode: str, cpus: int) -> dict:
+        def _steal(x: dict) -> float:
+            return x.get("host", {}).get("steal_pct", 0.0)
+
         _wait_for_quiet()  # don't LAUNCH a child into a steal burst
-        r = _scaling_child(mode, cpus)
-        while (r.get("host", {}).get("steal_pct", 0.0) > QUIET_STEAL_PCT
-               and retry_budget[0] > 0):
+        runs = [_scaling_child(mode, cpus)]
+        while _steal(runs[-1]) > QUIET_STEAL_PCT and retry_budget[0] > 0:
             retry_budget[0] -= 1
             _wait_for_quiet()
-            nxt = _scaling_child(mode, cpus)
-            r = min((r, nxt), key=lambda x: x["sec"])
-            if nxt.get("host", {}).get("steal_pct", 0.0) <= QUIET_STEAL_PCT:
-                break
-        return r
+            runs.append(_scaling_child(mode, cpus))
+        # a clean run ALWAYS beats a contaminated one, even if the
+        # contaminated window happened to clock faster — it measured
+        # the host, not the engine; fall back to min only if every
+        # attempt was contaminated
+        clean = [r for r in runs if _steal(r) <= QUIET_STEAL_PCT]
+        return min(clean or runs, key=lambda x: x["sec"])
 
     out: dict[str, dict] = {}
     for cpus in (lo, hi):

@@ -721,7 +721,18 @@ def q_chunks_reconstruct(sf_dir: str) -> rd.Dataset:
         semantic_chunks,
     )
 
-    _ws = re.compile(r"[ \t\n\r\f\v]+")
+    # the FULL str.isspace() set, not just ASCII: the splitter trims
+    # chunk boundaries with str.strip(), which removes NBSP/\u2028/etc.
+    # — stripping only ASCII whitespace here would false-fail the md5
+    # on any doc with non-ASCII whitespace at a chunk boundary. The SQL
+    # mirror strips the identical codepoint class (parity asserted
+    # exhaustively over all codepoints when this oracle was built).
+    _ws = re.compile("[" + "".join(
+        re.escape(chr(a)) + ("-" + re.escape(chr(b)) if b > a else "")
+        for a, b in [(0x9, 0xD), (0x1C, 0x20), (0x85, 0x85),
+                     (0xA0, 0xA0), (0x1680, 0x1680), (0x2000, 0x200A),
+                     (0x2028, 0x2029), (0x202F, 0x202F),
+                     (0x205F, 0x205F), (0x3000, 0x3000)]) + "]+")
 
     def recon(batch: pa.Table) -> pa.Table:
         ids, md5s = [], []
@@ -4454,7 +4465,9 @@ FROM documents
 # trimmed spans — nothing lost, nothing duplicated)
 _SQL_CHUNKS_RECONSTRUCT = r"""
 SELECT doc_id,
-       md5(regexp_replace(text, '[ \t\n\r\f\v]+', '', 'g')) AS recon_md5
+       md5(regexp_replace(text,
+           '[\x{0009}-\x{000d}\x{001c}-\x{0020}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
+           '', 'g')) AS recon_md5
 FROM documents
 """
 

@@ -1159,12 +1159,21 @@ def _spill_parquet(ds: rd.Dataset, prefix: str) -> rd.Dataset:
     that two downstream legs both need costs disk/tmpfs, not plasma, and
     each leg streams it back with normal backpressure. (On a multi-node
     cluster point $SPSE_SCRATCH at shared storage; everything written
-    here is derivable scratch.)"""
+    here is derivable scratch.)
+
+    Spill dirs are deleted at process exit (atexit): per-call mkdtemp
+    with no cleanup would leak a corpus-sized parquet copy per
+    invocation — on a tmpfs scratch that is leaked RAM. They cannot be
+    deleted eagerly because the returned Dataset re-reads the files
+    lazily, possibly long after this call returns."""
+    import atexit
+    import shutil as _shutil
     import tempfile
 
     from semantic_pdf_search_engine_ray.config import scratch_root
 
     out = tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+    atexit.register(_shutil.rmtree, out, ignore_errors=True)
     ds.write_parquet(out)
     return rd.read_parquet(out)
 
@@ -1303,11 +1312,15 @@ def source_vocab_overlap_thresholded(
             g, sort_keys=[("df", "ascending"), ("term", "ascending")])
         return g.take(idx[:p]).select(["source", "term"])
 
-    pref = (
+    # spilled: Ray Data has no common-subexpression elimination, so the
+    # self-join below would otherwise execute this whole chain (df
+    # aggregate over st + join + per-source sort) once PER SIDE
+    pref = _spill_parquet(
         st.join(dfagg, "inner", num_partitions, on=("term",),
                 right_on=("term",), right_suffix="_r")
         .groupby("source")
-        .map_groups(prefix_group, batch_format="pyarrow")
+        .map_groups(prefix_group, batch_format="pyarrow"),
+        "spse_vocab_pref_",
     )
 
     def cand_filter(t: pa.Table) -> pa.Table:

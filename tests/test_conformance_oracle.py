@@ -104,6 +104,8 @@ SUBSET = [
     "substring_counts",
     "source_vocab_overlap",
     "vocab_overlap_thresholded",
+    "ann_ivf_pruned",
+    "chunks_reconstruct",
     "ngram_novelty",
     "trimmed_mean",
     "anomalous_days",

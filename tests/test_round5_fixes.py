@@ -223,3 +223,40 @@ def test_prefix_query_routes_through_serving(serving_root):
     # every surfaced doc respects the facet filter
     for docs in by_q.values():
         assert all(langs[d] == "en" for d, _ in docs)
+
+
+def test_chunks_reconstruct_ws_class_matches_str_isspace():
+    """The chunker-coverage oracle strips the FULL str.isspace() set on
+    both sides (the splitter trims with str.strip()); an ASCII-only
+    class would false-fail the md5 on docs with NBSP/U+2028/etc. at a
+    chunk boundary. Pin: the Python class == str.isspace() for every
+    codepoint, and the SQL mirror strips an NBSP-bearing sample to the
+    same bytes."""
+    import re
+
+    import duckdb
+
+    from semantic_pdf_search_engine_ray.pipelines import conformance as cf
+
+    m = re.search(r"regexp_replace\(text,\s*'(\[[^']+\]\+)'",
+                  cf.ORACLE_SQL["chunks_reconstruct"])
+    assert m, "SQL mirror must strip a whitespace class"
+    sql_cls = m.group(1)
+
+    # the Python side's compiled class lives inside q_chunks_reconstruct;
+    # rebuild it from the same ranges the implementation uses and check
+    # exhaustively against str.isspace()
+    ranges = [(0x9, 0xD), (0x1C, 0x20), (0x85, 0x85), (0xA0, 0xA0),
+              (0x1680, 0x1680), (0x2000, 0x200A), (0x2028, 0x2029),
+              (0x202F, 0x202F), (0x205F, 0x205F), (0x3000, 0x3000)]
+    py = re.compile("[" + "".join(
+        re.escape(chr(a)) + ("-" + re.escape(chr(b)) if b > a else "")
+        for a, b in ranges) + "]+")
+    for i in range(0x110000):
+        assert bool(py.fullmatch(chr(i))) == chr(i).isspace(), hex(i)
+
+    sample = "hello world bye\tnow"
+    got = duckdb.sql(
+        "SELECT regexp_replace(?, '" + sql_cls + "', '', 'g')",
+        params=[sample]).fetchone()[0]
+    assert got == py.sub("", sample) == "helloworldbyenow"
