@@ -510,7 +510,7 @@ def run_bench() -> dict:
                  # round-4 additions
                  "hybrid_topk",
                  # round-5 additions
-                 "hybrid_ivf_topk"):
+                 "hybrid_ivf_topk", "vocab_overlap_thresholded"):
         if n_swept and n_swept % restart_every == 0:
             _restart_ray()
         n_swept += 1
